@@ -1,0 +1,112 @@
+"""Headline benchmark — merge-path CSR SpMV HBM bandwidth vs STREAM.
+
+Target (BASELINE.md north star): >= 80% of STREAM-equivalent HBM bandwidth
+on merge-path CSR SpMV per chip, on a skewed power-law matrix
+(skewness >= 10), using the reference byte-accounting model
+(``bandwidth.cpp:34-42``: nnz*8 + (rows+1)*4 + cols*4 read, rows*4 write).
+
+Prints ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": "GB/s", "vs_baseline": N}
+where ``vs_baseline`` = achieved_fraction_of_STREAM / 0.80 (1.0 == target).
+All diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def main() -> int:
+    t_start = time.time()
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_spmv import KernelType, SpMVConfig, spmv_auto_config
+    from tpu_spmv.bandwidth import measured_stream_bandwidth
+    from tpu_spmv.csr import CSRMatrix
+    from tpu_spmv.kernels.window_ell import WindowEllPlan, spmv_window_ell
+    from tpu_spmv.spmv import MERGE_SPLIT_ROWS, _resolve_csr_kernel
+    from tpu_spmv.timing import time_jitted
+    from tpu_spmv.utils.testing import RandomGenerator, spmv_matches
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.device_kind} ({dev.platform})")
+
+    # ---- benchmark matrix: power-law row lengths (skew >= 10), columns
+    # within 4 windows so the VMEM-resident x table serves every gather ----
+    rng = RandomGenerator(42)
+    rows, cols, avg = 65536, 4096, 24.0
+    csr = rng.power_law_csr(rows, cols, avg_nnz=avg, alpha=1.6)
+    stats = csr.compute_stats()
+    log(f"matrix: {rows}x{cols} nnz={csr.nnz} avg={stats.avg_nnz_per_row:.1f} "
+        f"max_row={stats.max_nnz_per_row} skew={stats.skewness:.1f}")
+
+    auto = spmv_auto_config(csr)
+    log(f"auto-selector: {KernelType(auto.kernel_type).name}")
+
+    # ---- build the merge-path plan and upload ----
+    t0 = time.time()
+    plan = WindowEllPlan.build(csr, sublanes=32, split_rows=MERGE_SPLIT_ROWS)
+    log(f"plan: tiles={plan.n_tiles} occupancy={plan.occupancy:.3f} "
+        f"virt_rows={plan.n_virt} build+upload {time.time()-t0:.1f}s")
+
+    x = jnp.asarray(rng.vector(cols))
+
+    # correctness spot-check against the CPU oracle
+    y = np.asarray(spmv_window_ell(plan, x))
+    ok = spmv_matches(y, csr, np.asarray(x), rel_tol=1e-5)
+    log(f"correctness vs CPU oracle: {'OK' if ok else 'FAIL'}")
+
+    # ---- timings ----
+    secs = time_jitted(spmv_window_ell, plan, x, iters=30)
+    model_bytes = csr.nnz * 8 + (rows + 1) * 4 + cols * 4 + rows * 4
+    spmv_gbs = model_bytes / secs / 1e9
+    gflops = 2.0 * csr.nnz / secs / 1e9
+    log(f"merge-path spmv: {secs*1e3:.3f} ms -> {spmv_gbs:.2f} GB/s "
+        f"(byte model), {gflops:.2f} GFLOP/s, "
+        f"{csr.nnz/secs/1e9:.2f} Gnnz/s")
+
+    # scalar path for comparison
+    fn, args = _resolve_csr_kernel(csr, KernelType.SCALAR_CSR, SpMVConfig())
+    secs_scalar = time_jitted(lambda d, v: fn(d, v), *args, x, iters=5)
+    log(f"scalar spmv:     {secs_scalar*1e3:.3f} ms "
+        f"({model_bytes/secs_scalar/1e9:.2f} GB/s) -> "
+        f"merge-path speedup {secs_scalar/secs:.1f}x")
+
+    stream_gbs = measured_stream_bandwidth(dev)
+    log(f"measured STREAM: {stream_gbs:.2f} GB/s")
+
+    frac = spmv_gbs / stream_gbs if stream_gbs > 0 else 0.0
+    vs_baseline = frac / 0.80
+    log(f"SpMV/STREAM = {frac:.3f} (target 0.80) -> vs_baseline "
+        f"{vs_baseline:.3f}; total {time.time()-t_start:.0f}s")
+
+    print(json.dumps({
+        "metric": "merge_path_csr_spmv_bandwidth",
+        "value": round(spmv_gbs, 3),
+        "unit": "GB/s",
+        "vs_baseline": round(vs_baseline, 4),
+        "detail": {
+            "spmv_over_stream": round(frac, 4),
+            "stream_gb_s": round(stream_gbs, 3),
+            "gflops": round(gflops, 3),
+            "gnnz_per_s": round(csr.nnz / secs / 1e9, 4),
+            "nnz": csr.nnz,
+            "skewness": round(stats.skewness, 1),
+            "occupancy": round(plan.occupancy, 4),
+            "correct": bool(ok),
+        },
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,79 @@
+"""Distributed layer tests (new component) — row-sharded SpMV over a forced
+multi-device CPU mesh, oracle = the same CPU reference on the unpartitioned
+matrix (SURVEY §2 'Parallelism strategies')."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from tpu_spmv import csr_from_dense
+from tpu_spmv.ops import spmv_cpu_csr
+from tpu_spmv.parallel import (
+    make_row_mesh,
+    pagerank_step_sharded,
+    shard_csr,
+    spmv_csr_sharded,
+)
+from tpu_spmv.pagerank import find_dangling_mask
+from tpu_spmv.utils.testing import spmv_matches, spmv_rel_equal
+
+needs_multi = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs >= 2 devices")
+
+
+class TestShardedSpMV:
+    @needs_multi
+    def test_matches_oracle(self, rng, n_devices):
+        mesh = make_row_mesh(n_devices)
+        for _ in range(10):
+            rows = rng.uniform_int(n_devices, 200)
+            cols = rng.uniform_int(1, 200)
+            csr = csr_from_dense(rng.dense_matrix(rows, cols, 0.2))
+            x = rng.vector(cols)
+            y = np.asarray(spmv_csr_sharded(shard_csr(csr, mesh), x, mesh))
+            assert spmv_matches(y, csr, x)
+
+    @needs_multi
+    def test_skewed_matrix(self, rng, n_devices):
+        mesh = make_row_mesh(n_devices)
+        csr = rng.power_law_csr(150, 150, avg_nnz=5.0)
+        x = rng.vector(150)
+        y = np.asarray(spmv_csr_sharded(shard_csr(csr, mesh), x, mesh))
+        assert spmv_matches(y, csr, x, rel_tol=1e-5)
+
+    def test_single_device_mesh(self, rng):
+        mesh = make_row_mesh(1)
+        csr = csr_from_dense(rng.dense_matrix(30, 30, 0.3))
+        x = rng.vector(30)
+        y = np.asarray(spmv_csr_sharded(shard_csr(csr, mesh), x, mesh))
+        assert spmv_matches(y, csr, x)
+
+    @needs_multi
+    def test_row_count_not_divisible(self, rng, n_devices):
+        """Rows not a multiple of the shard count."""
+        mesh = make_row_mesh(n_devices)
+        rows = n_devices * 13 + 5
+        csr = csr_from_dense(rng.dense_matrix(rows, 64, 0.15))
+        x = rng.vector(64)
+        y = np.asarray(spmv_csr_sharded(shard_csr(csr, mesh), x, mesh))
+        assert spmv_matches(y, csr, x)
+
+
+class TestShardedPageRankStep:
+    @needs_multi
+    def test_step_matches_dense(self, rng, n_devices):
+        mesh = make_row_mesh(n_devices)
+        n = 64
+        dense = (rng.rng.random((n, n)) < 0.2).astype(np.float32)
+        np.fill_diagonal(dense, 0.0)
+        s = dense.sum(axis=0)
+        dense[:, s > 0] /= s[s > 0]
+        csr = csr_from_dense(dense)
+        sharded = shard_csr(csr, mesh)
+        mask = find_dangling_mask(csr)
+        r = np.full(n, 1.0 / n, np.float32)
+        out = np.asarray(pagerank_step_sharded(
+            sharded, r, mask, damping=0.85, mesh=mesh))
+        expected = 0.85 * (dense @ r) + 0.85 * float(mask @ r) / n + 0.15 / n
+        assert spmv_rel_equal(out, expected.astype(np.float32), rel_tol=1e-5)

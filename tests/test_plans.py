@@ -1,0 +1,92 @@
+"""Window-ELL planner structural tests (the packed layout behind the
+VECTOR_CSR / MERGE_PATH kernels — no reference counterpart file; validates
+the invariants §7 of SURVEY.md requires of the merge-path redesign:
+deterministic, no atomics, bounded inflation)."""
+
+import numpy as np
+import pytest
+
+from tpu_spmv import csr_from_dense
+from tpu_spmv.kernels.window_ell import (
+    WindowEllOverflow,
+    WindowEllPlan,
+    spmv_window_ell,
+)
+from tpu_spmv.ops import spmv_cpu_csr
+from tpu_spmv.utils.testing import spmv_matches
+
+from conftest import DEVICE_PROP_ITERS
+
+
+def plan_slots_match_nnz(plan, csr):
+    """Every nnz lands in exactly one slot; all other slots are zero."""
+    vals = np.asarray(plan.vals)
+    assert float(np.abs(vals).sum()) == pytest.approx(
+        float(np.abs(csr.values).sum()), rel=1e-5)
+    assert int((vals != 0).sum()) == int((csr.values != 0).sum())
+
+
+class TestPlanStructure:
+    def test_lane_alignment_invariant(self, rng):
+        """Each slot's lo is the col % 128 of a nnz whose x entry lives in
+        that sublane's table row — verified by running the kernel."""
+        for _ in range(DEVICE_PROP_ITERS):
+            rows = rng.uniform_int(1, 100)
+            cols = rng.uniform_int(1, 100)
+            csr = csr_from_dense(rng.dense_matrix(rows, cols, 0.3))
+            plan = WindowEllPlan.build(csr)
+            plan_slots_match_nnz(plan, csr)
+            x = rng.vector(cols)
+            y = np.asarray(spmv_window_ell(plan, x))
+            assert spmv_matches(y, csr, x)
+
+    def test_multi_window(self, rng):
+        """Matrices wider than one 1024-col window."""
+        rows, cols = 64, 3000
+        dense = rng.dense_matrix(rows, cols, 0.02)
+        csr = csr_from_dense(dense)
+        plan = WindowEllPlan.build(csr)
+        assert plan.cols_pad >= 3000
+        x = rng.vector(cols)
+        y = np.asarray(spmv_window_ell(plan, x))
+        assert spmv_matches(y, csr, x)
+
+    def test_row_splitting_combine(self, rng):
+        """Merge-path mode: long rows split into virtual rows and combined
+        exactly."""
+        dense = np.zeros((40, 500), np.float32)
+        dense[0, :] = rng.vector(500)   # one hub row
+        dense[5, :10] = 1.0
+        dense[39, 250:] = 2.0
+        csr = csr_from_dense(dense)
+        plan = WindowEllPlan.build(csr, split_rows=32)
+        # virtual rows: ceil(500/32) + ceil(10/32) + ceil(250/32); empty
+        # rows get no virtual row (the combine fills their zeros)
+        assert plan.n_virt == 16 + 1 + 8
+        x = rng.vector(500)
+        y = np.asarray(spmv_window_ell(plan, x))
+        assert spmv_matches(y, csr, x, rel_tol=1e-5)
+
+    def test_overflow_guard(self):
+        """Adversarial structure (all nnz in one (row, chunk)) raises
+        WindowEllOverflow instead of exploding memory."""
+        rows, cols = 4096, 128
+        # single column: every row has 1 nnz in chunk 0; skew is fine, but a
+        # truly adversarial case is many nnz in ONE row+chunk with tiny total
+        dense = np.zeros((1, cols), np.float32)
+        dense[0, :] = 1.0
+        csr = csr_from_dense(dense)
+        # 128 nnz all in one row -> 16 layers for 1 lane: inflation huge
+        with pytest.raises(WindowEllOverflow):
+            WindowEllPlan.build(csr, max_inflation=2.0)
+
+    def test_occupancy_reported(self, rng):
+        csr = csr_from_dense(rng.dense_matrix(128, 128, 0.5))
+        plan = WindowEllPlan.build(csr)
+        assert 0.0 < plan.occupancy <= 1.0
+
+    def test_empty_matrix_plan(self):
+        csr = csr_from_dense(np.zeros((4, 4), np.float32))
+        plan = WindowEllPlan.build(csr)
+        y = np.asarray(spmv_window_ell(plan, np.ones(4, np.float32)))
+        np.testing.assert_array_equal(y, np.zeros(4, np.float32))

@@ -1,0 +1,173 @@
+"""Multi-chip distributed SpMV (new component — no reference counterpart).
+
+The reference is strictly single-GPU (no MPI/NCCL anywhere; device 0
+hardcoded, ``bandwidth.cpp:9``).  This layer adds the scale-out dimension
+mandated by the TPU build targets (BASELINE.md: ≥70% nnz/s scaling 1→4
+hosts): **1D row partitioning** of CSR over a ``jax.sharding.Mesh`` with
+``shard_map``.
+
+Design (the "how to scale" recipe: pick a mesh, annotate shardings, let XLA
+insert collectives):
+
+* the matrix is split into equal row blocks, one per mesh slot along the
+  ``rows`` axis; each shard's nnz arrays are padded to a common bucket so
+  the stacked ``(n_shards, nnz_pad)`` arrays are static-shaped and shard
+  exactly one block per device;
+* the operand ``x`` is **replicated** (power-law column footprints make row
+  shards read nearly all of x, so replication beats halo exchange at this
+  scale; halo compression is the planned optimization);
+* each device runs the local flat SpMV (gather + sorted segment-sum) on its
+  row block — zero cross-device traffic in the SpMV itself; the only
+  collectives are the all-gather XLA inserts when a replicated consumer
+  (e.g. the PageRank update) reads the row-sharded ``y``, riding ICI.
+
+Correctness oracle: the same CPU reference (``spmv_cpu.cpp:6-16``) on the
+unpartitioned matrix, at the reference property-test tolerances.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..csr import CSRMatrix, _bucket
+from ..errors import InvalidArgumentError
+
+
+def make_row_mesh(n_devices: int | None = None,
+                  axis_name: str = "rows") -> Mesh:
+    """A 1D device mesh over the first ``n_devices`` local devices."""
+    devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    if n_devices > len(devices):
+        raise InvalidArgumentError(
+            f"requested {n_devices} devices, have {len(devices)}")
+    return Mesh(np.array(devices[:n_devices]), (axis_name,))
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class ShardedCSR:
+    """Row-partitioned CSR: stacked per-shard padded arrays.
+
+    ``values/col_indices/row_ids`` are ``(n_shards, nnz_pad)``; ``row_ids``
+    are shard-local.  Padding nnz carry value 0 and point at the shard's
+    last local row.
+    """
+
+    values: jax.Array       # f32 (n_shards, nnz_pad)
+    col_indices: jax.Array  # i32 (n_shards, nnz_pad)
+    row_ids: jax.Array      # i32 (n_shards, nnz_pad), local
+    num_rows: int
+    num_cols: int
+    nnz: int
+    rows_per_shard: int
+
+    @property
+    def n_shards(self) -> int:
+        return int(self.values.shape[0])
+
+    def tree_flatten(self):
+        return (self.values, self.col_indices, self.row_ids), \
+            (self.num_rows, self.num_cols, self.nnz, self.rows_per_shard)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, *aux)
+
+
+def shard_csr(A: CSRMatrix, mesh: Mesh,
+              axis_name: str = "rows") -> ShardedCSR:
+    """Partition a host CSR matrix into equal row blocks over ``mesh`` and
+    place each block on its device."""
+    n_shards = int(mesh.shape[axis_name])
+    rows = A.num_rows
+    rps = max(-(-max(rows, 1) // n_shards), 1)
+    # per-shard nnz, common pad bucket
+    bounds = np.minimum(np.arange(n_shards + 1) * rps, rows)
+    ptr = A.row_ptrs
+    shard_nnz = ptr[bounds[1:]] - ptr[bounds[:-1]]
+    nnz_pad = _bucket(int(shard_nnz.max(initial=0)))
+
+    values = np.zeros((n_shards, nnz_pad), np.float32)
+    cols = np.zeros((n_shards, nnz_pad), np.int32)
+    rids = np.full((n_shards, nnz_pad), rps - 1, np.int32)
+    for d in range(n_shards):
+        lo, hi = int(ptr[bounds[d]]), int(ptr[bounds[d + 1]])
+        k = hi - lo
+        if k:
+            values[d, :k] = A.values[lo:hi]
+            cols[d, :k] = A.col_indices[lo:hi]
+            local_rows = np.repeat(
+                np.arange(bounds[d], bounds[d + 1], dtype=np.int32)
+                - bounds[d],
+                np.diff(ptr[bounds[d]:bounds[d + 1] + 1]))
+            rids[d, :k] = local_rows
+
+    sharding = NamedSharding(mesh, P(axis_name, None))
+    return ShardedCSR(
+        values=jax.device_put(jnp.asarray(values), sharding),
+        col_indices=jax.device_put(jnp.asarray(cols), sharding),
+        row_ids=jax.device_put(jnp.asarray(rids), sharding),
+        num_rows=rows,
+        num_cols=A.num_cols,
+        nnz=A.nnz,
+        rows_per_shard=rps,
+    )
+
+
+def _local_spmv(vals, cols, rids, x, rows_per_shard):
+    """Per-device flat SpMV on the local row block (shapes carry a leading
+    local-shard dim of 1 inside shard_map)."""
+    g = jnp.take(x, cols[0], mode="clip")
+    y = jax.ops.segment_sum(vals[0] * g, rids[0],
+                            num_segments=rows_per_shard,
+                            indices_are_sorted=True)
+    return y
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_spmv_fn(mesh: Mesh, axis_name: str, rows_per_shard: int):
+    local = functools.partial(_local_spmv, rows_per_shard=rows_per_shard)
+    mapped = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis_name, None), P(axis_name, None),
+                  P(axis_name, None), P()),
+        out_specs=P(axis_name),
+    )
+    return jax.jit(mapped)
+
+
+def spmv_csr_sharded(sharded: ShardedCSR, x, mesh: Mesh | None = None,
+                     axis_name: str = "rows") -> jax.Array:
+    """``y = A @ x`` with A row-sharded across the mesh; ``x`` replicated.
+    Returns the full ``(num_rows,)`` result (row-sharded layout)."""
+    x = jnp.asarray(x, jnp.float32)
+    if mesh is None:
+        mesh = sharded.values.sharding.mesh
+    fn = _sharded_spmv_fn(mesh, axis_name, sharded.rows_per_shard)
+    y = fn(sharded.values, sharded.col_indices, sharded.row_ids, x)
+    return y[: sharded.num_rows]
+
+
+def pagerank_step_sharded(sharded: ShardedCSR, ranks: jax.Array,
+                          dangling_mask: jax.Array, damping: float = 0.85,
+                          mesh: Mesh | None = None,
+                          axis_name: str = "rows") -> jax.Array:
+    """One distributed PageRank power iteration: row-sharded SpMV + fused
+    teleport/dangling update (the multi-chip form of ``pagerank.cu:93-132``).
+    The all-gather of the row-sharded ``Ar`` back to the replicated ``ranks``
+    layout is inserted by XLA and rides ICI."""
+    n = sharded.num_rows
+    Ar = spmv_csr_sharded(sharded, ranks, mesh, axis_name)
+    dangling_sum = jnp.dot(dangling_mask[:n], ranks[:n])
+    return damping * Ar + damping * dangling_sum / n + (1.0 - damping) / n

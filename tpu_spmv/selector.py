@@ -1,0 +1,56 @@
+"""Kernel auto-selector (C6).
+
+Re-design of ``spmv_auto_config`` (``src/spmv_cpu.cpp:34-50``).  The decision
+*structure* is preserved exactly — sparse-average → scalar, low-skew →
+vector, high-skew → merge-path, large-x → cached-x knob — but every constant
+is re-derived for TPU lane/sublane geometry instead of warp width 32:
+
+* ``AVG_NNZ_SCALAR_THRESHOLD``: below ~2 nnz/row the window-ELL tiles are
+  mostly padding (each lane-row contributes <2 slots per 8-sublane layer),
+  so the flat scalar path wins.  (Reference value 4, tuned for one-thread-
+  per-row vs warp-per-row crossover, ``spmv_cpu.cpp:41``.)
+* ``SKEWNESS_VECTOR_THRESHOLD``: skewness = max/(min+1) row length
+  (``csr_matrix.cpp:297``).  One over-long row inflates a whole 128-row
+  block's layer count, so the TPU crossover to the row-splitting merge
+  kernel is at ~16 (reference 10, tuned for warp-imbalance,
+  ``spmv_cpu.cpp:43``).
+* ``use_vmem_x`` (texture analog): the reference enables the texture path
+  only for large x (cols > 10000, ``spmv_cpu.cpp:37``); on TPU VMEM
+  residency is *always* profitable but only *possible* while the padded x
+  table fits VMEM, so the rule inverts into a capacity cap
+  (``VMEM_X_MAX_COLS``).
+
+Constants are module-level so the benchmark sweep (``benchmarks/tune.py``)
+can re-derive and override them.
+"""
+
+from __future__ import annotations
+
+from .csr import CSRMatrix
+from .spmv import KernelType, SpMVConfig, VMEM_X_MAX_COLS
+
+AVG_NNZ_SCALAR_THRESHOLD = 2.0
+SKEWNESS_VECTOR_THRESHOLD = 16.0
+DEFAULT_BLOCK_SIZE = 256
+
+
+def spmv_auto_config(A: CSRMatrix) -> SpMVConfig:
+    """Pick a kernel configuration from row statistics
+    (reference ``spmv_auto_config``, ``spmv_cpu.cpp:34-50``)."""
+    config = SpMVConfig()
+    config.block_size = DEFAULT_BLOCK_SIZE
+    config.use_vmem_x = A.num_cols <= VMEM_X_MAX_COLS
+
+    stats = A.compute_stats()
+
+    if not config.use_vmem_x:
+        # x too large for a VMEM-resident table: only the flat path scales
+        config.kernel_type = KernelType.SCALAR_CSR
+    elif stats.avg_nnz_per_row < AVG_NNZ_SCALAR_THRESHOLD:
+        config.kernel_type = KernelType.SCALAR_CSR
+    elif stats.skewness < SKEWNESS_VECTOR_THRESHOLD:
+        config.kernel_type = KernelType.VECTOR_CSR
+    else:
+        config.kernel_type = KernelType.MERGE_PATH
+
+    return config

@@ -1,0 +1,234 @@
+"""SpMV dispatch, configuration and result types (C12).
+
+Re-design of the reference host entry points ``spmv_csr`` / ``spmv_ell``
+(``src/spmv_kernels.cu:215-420``): validates arguments before any device
+work (``spmv_kernels.cu:219-232``), dispatches on ``kernel_type``
+(``:264-294``), and returns a result carrying the output vector plus
+throughput metrics (``spmv.h:27-36``).
+
+Deviations forced by the platform, all documented:
+
+* per-call cudaEvent timing has no TPU analog (XLA dispatch is async);
+  metrics are filled either from an explicit chained-loop measurement
+  (``measure=True``, see :mod:`tpu_spmv.timing`) or left zero.  The
+  benchmark harness (C14) is the precise measurement path.
+* ``use_texture`` becomes ``use_vmem_x``: the Pallas kernels keep x resident
+  in VMEM (the TPU's software-managed cache), which is the direct analog of
+  the reference's texture-cached x reads (C11, ``spmv_kernels.cu:7-39``).
+* ``block_size`` (CUDA threads/block, default 256) maps to the Pallas tile
+  sublane count: ``sublanes = block_size // 8`` (default 32), preserving the
+  reference's configuration surface.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .bandwidth import BandwidthMetrics, compute_bandwidth_csr, compute_bandwidth_ell
+from .csr import CSRMatrix, DeviceCSR
+from .ell import DeviceELL, ELLMatrix
+from .errors import SpMVError
+from .kernels.ell_kernel import spmv_ell_device
+from .kernels.scalar import pad_x, spmv_csr_scalar
+from .kernels.window_ell import WindowEllOverflow, WindowEllPlan, spmv_window_ell
+
+# Largest num_cols whose padded x window-table fits comfortably in VMEM
+# (the analog of the reference's texture-size practicality limit).
+VMEM_X_MAX_COLS = 1 << 21
+
+# merge-path virtual-row granularity: max nnz per virtual row (the TPU
+# analog of the reference's items-per-thread work quantum,
+# spmv_kernels.cu:79-84)
+MERGE_SPLIT_ROWS = 128
+
+
+class KernelType(enum.IntEnum):
+    """Reference ``SpMVConfig::KernelType`` (``spmv.h:12-17``)."""
+
+    SCALAR_CSR = 0   # flat XLA gather + segment-sum (naive, universal)
+    VECTOR_CSR = 1   # window-ELL Pallas kernel, lane-per-row
+    MERGE_PATH = 2   # window-ELL + row splitting (equal-work) + combine
+    ELL_KERNEL = 3   # slot-major ELL kernel
+
+
+@dataclasses.dataclass
+class SpMVConfig:
+    """Reference ``SpMVConfig`` (``spmv.h:11-24``) with TPU-native knobs."""
+
+    kernel_type: KernelType = KernelType.SCALAR_CSR
+    block_size: int = 256          # sublanes = block_size // 8
+    use_vmem_x: bool = False       # texture-cache analog (C11)
+
+    @property
+    def sublanes(self) -> int:
+        return max(8, (self.block_size // 8) // 8 * 8) if self.block_size >= 64 else 8
+
+
+@dataclasses.dataclass
+class SpMVResult:
+    """Reference ``SpMVResult`` (``spmv.h:27-36``)."""
+
+    y: jax.Array | None = None
+    elapsed_ms: float = 0.0
+    gflops: float = 0.0
+    bandwidth_gb_s: float = 0.0
+    error_code: int = 0
+    bandwidth: BandwidthMetrics | None = None
+
+    def y_host(self) -> np.ndarray:
+        return np.asarray(self.y) if self.y is not None else None
+
+
+def spmv_validate_dimensions(num_cols: int, vec_size: int) -> bool:
+    """Reference inline validator (``spmv.h:52-54``)."""
+    return num_cols == vec_size
+
+
+def _plan_for(A: CSRMatrix, kernel_type: KernelType,
+              sublanes: int) -> WindowEllPlan:
+    key = (int(kernel_type), sublanes)
+    plan = A._plan_cache.get(key)
+    if plan is None:
+        split = MERGE_SPLIT_ROWS if kernel_type == KernelType.MERGE_PATH \
+            else None
+        plan = WindowEllPlan.build(A, sublanes=sublanes, split_rows=split)
+        A._plan_cache[key] = plan
+    return plan
+
+
+def spmv_csr(A: CSRMatrix | None, x, config: SpMVConfig | None = None,
+             vec_size: int | None = None, measure: bool = False,
+             measure_iters: int = 10) -> SpMVResult:
+    """``y = A @ x`` on device (reference ``spmv_csr``,
+    ``spmv_kernels.cu:215-326``).
+
+    Returns an :class:`SpMVResult`; errors are reported via ``error_code``
+    (the reference's no-throw contract).  ``measure=True`` re-executes the
+    jitted kernel ``measure_iters`` times in a chained loop to fill the
+    timing/GFLOPS/bandwidth fields.
+    """
+    result = SpMVResult()
+    # validation mirrors spmv_kernels.cu:219-232
+    if A is None or x is None:
+        result.error_code = int(SpMVError.INVALID_ARGUMENT)
+        return result
+    x = jnp.asarray(x, jnp.float32)
+    n = int(x.shape[0]) if x.ndim == 1 else -1
+    if vec_size is None or vec_size < 0:
+        vec_size = n
+    if x.ndim != 1 or not spmv_validate_dimensions(A.num_cols, vec_size) \
+            or vec_size != n:
+        result.error_code = int(SpMVError.INVALID_DIMENSION)
+        return result
+    if config is None:
+        config = SpMVConfig()  # nullptr → defaults, spmv_kernels.cu:234-237
+
+    kernel_type = KernelType(config.kernel_type)
+    if A.num_rows == 0:
+        result.y = jnp.zeros((0,), jnp.float32)
+        return result
+
+    try:
+        fn, args = _resolve_csr_kernel(A, kernel_type, config)
+    except WindowEllOverflow:
+        # structure too adversarial for the packed layout → scalar fallback
+        fn, args = _resolve_csr_kernel(A, KernelType.SCALAR_CSR, config)
+
+    try:
+        result.y = fn(*args, x)[: A.num_rows]
+    except Exception:
+        result.error_code = int(SpMVError.EXECUTION)
+        return result
+
+    if measure:
+        from .timing import time_jitted
+
+        secs = time_jitted(lambda *a: fn(*a[:-1], a[-1])[: A.num_rows],
+                           *args, x, iters=measure_iters)
+        result.elapsed_ms = secs * 1e3
+        result.gflops = 2.0 * A.nnz / secs / 1e9 if secs > 0 else 0.0
+        result.bandwidth = compute_bandwidth_csr(
+            A.num_rows, A.num_cols, A.nnz, result.elapsed_ms)
+        result.bandwidth_gb_s = result.bandwidth.achieved_gb_s
+    return result
+
+
+def _resolve_csr_kernel(A: CSRMatrix, kernel_type: KernelType,
+                        config: SpMVConfig):
+    """Pick the jitted kernel callable + its bound matrix argument."""
+    if kernel_type in (KernelType.VECTOR_CSR, KernelType.MERGE_PATH) \
+            and A.num_cols <= VMEM_X_MAX_COLS:
+        plan = _plan_for(A, kernel_type, config.sublanes)
+        return spmv_window_ell, (plan,)
+    # SCALAR_CSR, ELL_KERNEL-on-CSR, or cols too large for VMEM residency
+    return _scalar_entry, (A.to_device(),)
+
+
+def _cols_pad(dev: DeviceCSR) -> int:
+    from .csr import _bucket
+
+    return _bucket(max(dev.num_cols, 1))
+
+
+@jax.jit
+def _scalar_entry(dev: DeviceCSR, x: jax.Array) -> jax.Array:
+    cols_pad = _cols_pad(dev)
+    return spmv_csr_scalar(dev, pad_x(x, cols_pad))
+
+
+def spmv_ell(A: ELLMatrix | None, x, config: SpMVConfig | None = None,
+             vec_size: int | None = None, measure: bool = False,
+             measure_iters: int = 10) -> SpMVResult:
+    """``y = A @ x`` for ELL (reference ``spmv_ell``,
+    ``spmv_kernels.cu:328-420``)."""
+    result = SpMVResult()
+    if A is None or x is None:
+        result.error_code = int(SpMVError.INVALID_ARGUMENT)
+        return result
+    x = jnp.asarray(x, jnp.float32)
+    n = int(x.shape[0]) if x.ndim == 1 else -1
+    if vec_size is None or vec_size < 0:
+        vec_size = n
+    if x.ndim != 1 or not spmv_validate_dimensions(A.num_cols, vec_size) \
+            or vec_size != n:
+        result.error_code = int(SpMVError.INVALID_DIMENSION)
+        return result
+    if A.num_rows == 0:
+        result.y = jnp.zeros((0,), jnp.float32)
+        return result
+
+    dev = A.to_device()
+    try:
+        result.y = _ell_entry(dev, x)[: A.num_rows]
+    except Exception:
+        result.error_code = int(SpMVError.EXECUTION)
+        return result
+
+    if measure:
+        from .timing import time_jitted
+
+        secs = time_jitted(lambda d, v: _ell_entry(d, v)[: A.num_rows],
+                           dev, x, iters=measure_iters)
+        result.elapsed_ms = secs * 1e3
+        # actual-nnz GFLOPS accounting like the reference host recount
+        # (spmv_kernels.cu:399-405)
+        nnz = A.nnz
+        result.gflops = 2.0 * nnz / secs / 1e9 if secs > 0 else 0.0
+        result.bandwidth = compute_bandwidth_ell(
+            A.num_rows, A.num_cols, A.max_nnz_per_row, result.elapsed_ms)
+        result.bandwidth_gb_s = result.bandwidth.achieved_gb_s
+    return result
+
+
+@jax.jit
+def _ell_entry(dev: DeviceELL, x: jax.Array) -> jax.Array:
+    from .csr import _bucket
+
+    cols_pad = _bucket(max(dev.num_cols, 1))
+    return spmv_ell_device(dev, pad_x(x, cols_pad))
