@@ -54,9 +54,9 @@ def main() -> int:
 
     # ---- build the merge-path plan and upload ----
     t0 = time.time()
-    plan = WindowEllPlan.build(csr, sublanes=32, split_rows=MERGE_SPLIT_ROWS)
-    log(f"plan: tiles={plan.n_tiles} occupancy={plan.occupancy:.3f} "
-        f"virt_rows={plan.n_virt} build+upload {time.time()-t0:.1f}s")
+    plan = WindowEllPlan.build(csr, split_rows=MERGE_SPLIT_ROWS)
+    log(f"plan: groups={plan.n_groups} occupancy={plan.occupancy:.3f} "
+        f"extras={plan.n_extra} build+upload {time.time()-t0:.1f}s")
 
     x = jnp.asarray(rng.vector(cols))
 

@@ -92,8 +92,11 @@ def measured_stream_bandwidth(device=None) -> float:
         return _MEASURED_PEAK_CACHE[key]
     n = 1 << 26  # 256 MB
     x = jax.device_put(jnp.arange(n, dtype=jnp.float32), device)
-    secs = time_jitted(lambda v: v * 1.0000001 + 1e-9, x, iters=20)
-    gbs = 2 * n * 4 / secs / 1e9
+    # fused read-reduce: one full HBM read pass, no output write — the
+    # cleanest single-stream rate and the honest denominator for a
+    # read-dominated SpMV
+    secs = time_jitted(lambda v: jnp.sum(v * 1.0000001), x)
+    gbs = n * 4 / secs / 1e9
     _MEASURED_PEAK_CACHE[key] = gbs
     return gbs
 

@@ -41,7 +41,7 @@ class BenchmarkConfig:
     num_warmup_runs: int = 5
     num_runs: int = 20
     compare_cpu: bool = True
-    iters_per_run: int = 5
+    iters_per_run: int | None = None   # None → auto-calibrated
 
 
 @dataclasses.dataclass
@@ -113,7 +113,7 @@ def benchmark_csr(A: CSRMatrix, x, config: SpMVConfig | None = None,
                       *args, xd,
                       num_runs=bc.num_runs,
                       iters_per_run=bc.iters_per_run,
-                      warmup_runs=max(1, bc.num_warmup_runs // bc.iters_per_run))
+                      warmup_runs=1 if bc.num_warmup_runs else 0)
     return _stats(name, [t * 1e3 for t in times], A.nnz,
                   lambda ms: compute_bandwidth_csr(A.num_rows, A.num_cols,
                                                    A.nnz, ms))
@@ -131,7 +131,7 @@ def benchmark_ell(A: ELLMatrix, x, config: SpMVConfig | None = None,
     times = time_runs(_ell_entry, dev, xd,
                       num_runs=bc.num_runs,
                       iters_per_run=bc.iters_per_run,
-                      warmup_runs=max(1, bc.num_warmup_runs // bc.iters_per_run))
+                      warmup_runs=1 if bc.num_warmup_runs else 0)
     return _stats(name, [t * 1e3 for t in times], A.nnz,
                   lambda ms: compute_bandwidth_ell(A.num_rows, A.num_cols,
                                                    A.max_nnz_per_row, ms))

@@ -7,34 +7,36 @@ TPU-native re-design of the reference's two load-balanced CSR kernels:
   32-thread warp: **each lane owns one row**, and the cross-lane shuffle
   reduction becomes a structural sublane-axis reduce.
 * ``spmv_csr_merge_path_kernel`` (equal-work 2D merge partitioning with
-  ``atomicAdd`` combines, ``spmv_kernels.cu:75-130``) — on TPU equal-work
-  partitioning is achieved by **splitting long rows into bounded virtual
-  rows** at plan time, and the non-deterministic atomicAdd is replaced by a
-  deterministic ``segment_sum`` combine over the (few) virtual-row partials.
+  ``atomicAdd`` combines, ``spmv_kernels.cu:75-130``) — on TPU equal work is
+  achieved at plan time: long rows are **split stride-wise** into bounded
+  extra rows and over-full cells **spill** into extra rows, and the
+  non-deterministic atomicAdd is replaced by a deterministic segment-sum
+  over the (few) extra-row partials.
 
-Layout ("window-ELL", built host-side by :class:`WindowEllPlan`):
+Layout (built host-side by :class:`WindowEllPlan`):
 
 * ``x`` is zero-padded to ``cols_pad`` and reshaped ``(cols_pad/128, 128)``;
-  a *window* is 1024 consecutive columns = 8 table rows = one (8,128) VPU
-  register of x, resident in VMEM (this replaces the reference's texture
-  cache over x, C11 / ``spmv_kernels.cu:7-39``).
-* non-zeros are packed into (sublanes,128) tiles: **lane = row mod 128**,
-  **sublane ≡ (col/128) mod 8** (so the col's x-entry lives in that table
-  row), layered when a (row, col-chunk) pair has multiple nnz.
+  a *window* is 1024 consecutive columns = one (8,128) block of x, resident
+  in VMEM (replacing the reference's texture cache over x, C11 /
+  ``spmv_kernels.cu:7-39``).
+* non-zeros are packed into (8,128) **groups**: lane = row mod 128,
+  sublane = (col/128) mod 8 (so the col's x entry lives in that table row),
+  one group per (128-row block, window, layer).
 * the gather ``x[col]`` is a single hardware lane-gather
   (``take_along_axis(table, col % 128, axis=1)``) — the only fast dynamic
   gather the TPU VPU exposes; the packing constraint exists precisely to
-  make every gather lane-local.
-* the per-slot gather index is ``col % 128 < 128``, so it is stored as
-  **int8** (5 bytes/slot total with the f32 value vs the flat format's
-  8 bytes/nnz) — the main reason the kernel can approach the reference's
-  CSR byte model despite slot padding.
-* row sums are a structural reduce over the sublane axis; tiles are sorted
-  by row-block so consecutive grid steps accumulate into a revolving VMEM
-  output block (sequential TPU grid ⇒ deterministic, no atomics).
+  make every gather lane-local.  The gather index ``col % 128 < 128`` is
+  stored as **int8** (5 bytes/slot with the f32 value).
+* the grid runs over *steps* of ``step_groups`` groups; each step streams a
+  ``(8*step_groups, 128)`` block of values+indices, gathers per group from
+  the VMEM x window named by a scalar-prefetched per-group index, reduces
+  each group over sublanes, and accumulates the (1,128) row partial into a
+  revolving (8,128) output block covering a 1024-row *superblock*
+  (sequential TPU grid ⇒ deterministic, no atomics).
 
-Measured on TPU v5e: the gather+reduce inner loop runs at ~0.9x the speed of
-a same-shaped pure streaming kernel, i.e. the kernel is HBM-bound.
+Measured on TPU v5e: ~845 GB/s on the packed streams at ``step_groups=64``
+— at the chip's STREAM rate, i.e. the kernel is HBM-bound; end-to-end SpMV
+efficiency is set by slot occupancy (real nnz / padded slots).
 """
 
 from __future__ import annotations
@@ -53,20 +55,35 @@ from ..csr import CSRMatrix, _bucket
 from ..errors import InvalidFormatError
 
 LANE = 128
-CHUNKS = 8          # table rows per window
-WINDOW = 1024       # columns per window (CHUNKS * LANE)
-ROWS_PER_BLOCK = 128
+CHUNKS = 8            # table rows (col chunks) per window
+WINDOW = 1024         # columns per window (CHUNKS * LANE)
+ROWS_PER_BLOCK = 128  # lanes
+SUPERBLOCK = 1024     # rows per output block (8 row-blocks)
 
 
 class WindowEllOverflow(InvalidFormatError):
     """The packed layout would inflate memory beyond ``max_inflation`` —
-    the structure is too sparse/adversarial for this kernel; callers fall
-    back to the scalar path (mirrors the selector's role, C6)."""
+    the structure is too adversarial for this kernel; callers fall back to
+    the scalar path (mirrors the selector's role, C6)."""
 
 
-def _pad_pow2(n: int, minimum: int = 8) -> int:
+def _pad_pow2(n: int, minimum: int = 1) -> int:
     n = max(n, minimum)
     return 1 << (n - 1).bit_length()
+
+
+def _cumcount(keys: np.ndarray) -> np.ndarray:
+    """Occurrence index of each element within its key group."""
+    n = len(keys)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    order = np.argsort(keys, kind="stable")
+    sk = keys[order]
+    starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+    counts = np.diff(np.r_[starts, n])
+    out = np.empty(n, np.int64)
+    out[order] = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
+    return out
 
 
 @jax.tree_util.register_pytree_node_class
@@ -74,32 +91,38 @@ def _pad_pow2(n: int, minimum: int = 8) -> int:
 class WindowEllPlan:
     """Host-built packed layout for the window-ELL kernel.
 
-    ``split_rows=None`` → vector-CSR semantics (one virtual row per row);
-    ``split_rows=S`` → merge-path semantics (rows split into ≤S-nnz virtual
-    rows, combined by a deterministic segment-sum).
+    ``split_rows=None`` → vector-CSR semantics; ``split_rows=S`` →
+    merge-path semantics (rows stride-split into ≤S-nnz extra rows).  In
+    both modes over-full cells spill to extra rows, and only the extras go
+    through the final segment-sum combine — ordinary rows come straight out
+    of the kernel's output block.
     """
 
-    vals: jax.Array          # f32 (tiles*sublanes, 128)
-    lo: jax.Array            # i8  (tiles*sublanes, 128)  col % 128 per slot
-    tile_rb: jax.Array       # i32 (tiles,)  output row-block per tile
-    tile_w: jax.Array        # i32 (tiles,)  x-window per tile
-    virt_to_row: jax.Array   # i32 (n_virt,) virtual→real row (identity slice
-    #                          when split_rows is None)
+    vals: jax.Array          # f32 (n_groups*8, 128)
+    lo: jax.Array            # i8  (n_groups*8, 128)  col % 128 per slot
+    wg: jax.Array            # i32 (n_groups,)  x-window per group
+    sbg: jax.Array           # i32 (n_groups,)  row sub-block (0-7) per group
+    sup_step: jax.Array      # i32 (n_steps,)   output superblock per step
+    extra_to_row: jax.Array  # i32 (n_extra,)   combine map for extra rows
     num_rows: int
     num_cols: int
-    n_virt: int
-    blocks: int
+    extras_base: int         # first extra-row position (128-aligned)
+    n_extra: int
+    n_sup: int
     cols_pad: int
-    sublanes: int
+    step_groups: int
     split_rows: int | None
     occupancy: float
 
-    # -- pytree protocol --
     def tree_flatten(self):
-        leaves = (self.vals, self.lo, self.tile_rb, self.tile_w,
-                  self.virt_to_row)
-        aux = (self.num_rows, self.num_cols, self.n_virt, self.blocks,
-               self.cols_pad, self.sublanes, self.split_rows, self.occupancy)
+        leaves = (self.vals, self.lo, self.wg, self.sbg, self.sup_step,
+                  self.extra_to_row)
+        # occupancy is diagnostic only — excluded from aux so it never
+        # fragments the jit cache (plans reconstructed via pytree ops
+        # report occupancy 0.0)
+        aux = (self.num_rows, self.num_cols, self.extras_base, self.n_extra,
+               self.n_sup, self.cols_pad, self.step_groups, self.split_rows,
+               0.0)
         return leaves, aux
 
     @classmethod
@@ -107,123 +130,182 @@ class WindowEllPlan:
         return cls(*leaves, *aux)
 
     @property
-    def n_tiles(self) -> int:
-        return int(self.tile_rb.shape[0])
+    def n_groups(self) -> int:
+        return int(self.wg.shape[0])
+
+    @property
+    def n_steps(self) -> int:
+        return int(self.sup_step.shape[0])
 
     @staticmethod
-    def build(csr: CSRMatrix, sublanes: int = 32,
-              split_rows: int | None = None,
-              max_inflation: float = 32.0, device=None) -> "WindowEllPlan":
+    def build(csr: CSRMatrix, split_rows: int | None = None,
+              step_groups: int | None = None, cap_slack: int = 2,
+              max_inflation: float = 64.0, device=None) -> "WindowEllPlan":
         """Pack a host CSR matrix into the window-ELL layout (vectorized).
 
         Raises :class:`WindowEllOverflow` when padding would exceed
-        ``max_inflation`` x nnz slots (plus a fixed allowance), signalling
-        the caller to use the scalar kernel instead.
+        ``max_inflation`` x nnz slots (plus a 64K-slot floor), signalling the
+        caller to use the scalar kernel instead.
         """
-        if sublanes % 32 or sublanes <= 0:
-            # int8 tiles need a 32-sublane granularity (min tile (32,128))
-            raise InvalidFormatError("sublanes must be a positive multiple of 32")
-        lpt = sublanes // 8
         rows, nnz = csr.num_rows, csr.nnz
         cols_pad = _bucket(max(csr.num_cols, 1))
         n_windows = cols_pad // WINDOW
+        if step_groups is None:
+            # 64 saturates HBM on TPU; small steps keep interpret-mode
+            # (CPU test) tracing cheap
+            step_groups = 64 if not _use_interpret() else 8
+        S = step_groups
         row_len = np.diff(csr.row_ptrs).astype(np.int64)
 
-        # --- virtual rows (merge-path row splitting) ---
+        # ---- strided row splitting (merge-path equal-work) ----
         if split_rows:
-            parts = -(-row_len // split_rows)  # ceil; 0 for empty rows
-            n_virt = int(parts.sum())
-            virt_to_row = np.repeat(np.arange(rows, dtype=np.int64), parts)
-            if nnz:
-                virt_base = np.zeros(rows, np.int64)
-                np.cumsum(parts[:-1], out=virt_base[1:])
-                in_row = np.arange(nnz, dtype=np.int64) - \
-                    np.repeat(csr.row_ptrs[:-1].astype(np.int64), row_len)
-                nnz_virt = np.repeat(virt_base, row_len) + in_row // split_rows
-            else:
-                nnz_virt = np.zeros(0, np.int64)
+            parts = np.maximum(-(-row_len // split_rows), 1)
         else:
-            n_virt = rows
-            virt_to_row = np.arange(rows, dtype=np.int64)
-            nnz_virt = np.repeat(np.arange(rows, dtype=np.int64), row_len)
+            parts = np.ones(rows, np.int64)
+        extras_per_row = parts - 1
+        n_extra_split = int(extras_per_row.sum())
+        extra_base_of_row = np.zeros(rows, np.int64)
+        if rows:
+            np.cumsum(extras_per_row[:-1], out=extra_base_of_row[1:])
+        extra_to_row = np.repeat(np.arange(rows, dtype=np.int64),
+                                 extras_per_row)
+        extras_base = -(-max(rows, 1) // ROWS_PER_BLOCK) * ROWS_PER_BLOCK
 
-        blocks = max(-(-max(n_virt, 1) // ROWS_PER_BLOCK), 1)
+        if nnz:
+            row_of_nnz = np.repeat(np.arange(rows, dtype=np.int64), row_len)
+            in_row = np.arange(nnz, dtype=np.int64) - \
+                np.repeat(csr.row_ptrs[:-1].astype(np.int64), row_len)
+            part = in_row % np.repeat(parts, row_len)  # strided assignment
+            pos = np.where(
+                part == 0, row_of_nnz,
+                extras_base + np.repeat(extra_base_of_row, row_len)
+                + part - 1)
+            cols64 = csr.col_indices.astype(np.int64)
+            w = cols64 // WINDOW
+            c = (cols64 // LANE) % CHUNKS
+        else:
+            row_of_nnz = pos = cols64 = w = c = np.zeros(0, np.int64)
 
-        # --- per-nnz slot coordinates ---
-        cols64 = csr.col_indices.astype(np.int64)
-        w = cols64 // WINDOW
-        c = (cols64 // LANE) % CHUNKS
-        lane = nnz_virt % ROWS_PER_BLOCK
-        b = nnz_virt // ROWS_PER_BLOCK
+        def layers_of(pos):
+            lane = pos % ROWS_PER_BLOCK
+            b = pos // ROWS_PER_BLOCK
+            key = ((b * n_windows + w) * CHUNKS + c) * ROWS_PER_BLOCK + lane
+            return b, lane, _cumcount(key)
 
-        # layer = occurrence count within (block, window, chunk, lane)
-        gid = ((b * n_windows + w) * CHUNKS + c) * ROWS_PER_BLOCK + lane
-        order = np.argsort(gid, kind="stable")
-        sg = gid[order]
-        run_starts = np.flatnonzero(np.r_[True, sg[1:] != sg[:-1]])
-        run_counts = np.diff(np.r_[run_starts, nnz])
-        layer = np.empty(nnz, np.int64)
-        layer[order] = np.arange(nnz, dtype=np.int64) - \
-            np.repeat(run_starts, run_counts)
+        b, lane, layer = layers_of(pos)
 
-        # --- tiles per (block, window) ---
-        bw = b * n_windows + w
-        ubw, inv = np.unique(bw, return_inverse=True)
+        # ---- layer cap + spill to extra rows ----
+        n_extra = n_extra_split
+        if nnz:
+            bw = b * n_windows + w
+            ubw, inv, cnt = np.unique(bw, return_inverse=True,
+                                      return_counts=True)
+            cap = -(-cnt // WINDOW) + cap_slack
+            spilled = layer >= cap[inv]
+            if spilled.any():
+                skey = row_of_nnz[spilled] * n_windows + w[spilled]
+                su, sinv = np.unique(skey, return_inverse=True)
+                pos = pos.copy()
+                pos[spilled] = extras_base + n_extra_split + sinv
+                extra_to_row = np.concatenate([extra_to_row, su // n_windows])
+                n_extra += len(su)
+                b, lane, layer = layers_of(pos)
+                bw = b * n_windows + w
+                ubw, inv = np.unique(bw, return_inverse=True)
+        else:
+            ubw = np.zeros(0, np.int64)
+            inv = np.zeros(0, np.int64)
+
+        # ---- groups per (block, window) ----
         lmax = np.zeros(len(ubw), np.int64)
-        np.maximum.at(lmax, inv, layer + 1)
-        tiles_per = -(-lmax // lpt)
-        # every output block needs >= 1 tile (pallas outputs are
-        # uninitialized unless written)
-        present = np.unique(ubw // n_windows) if len(ubw) else \
-            np.zeros(0, np.int64)
-        missing = np.setdiff1d(np.arange(blocks, dtype=np.int64), present)
-        ubw_all = np.concatenate([ubw, missing * n_windows])
-        tiles_all = np.concatenate([tiles_per,
-                                    np.ones(len(missing), np.int64)])
-        sort_ix = np.argsort(ubw_all, kind="stable")
-        ubw_all, tiles_all = ubw_all[sort_ix], tiles_all[sort_ix]
-        tile_base = np.zeros(len(ubw_all), np.int64)
-        np.cumsum(tiles_all[:-1], out=tile_base[1:])
-        t_data = int(tiles_all.sum())
+        if nnz:
+            np.maximum.at(lmax, inv, layer + 1)
+        g_b = np.repeat(ubw // n_windows, lmax)
+        g_w = np.repeat(ubw % n_windows, lmax)
+        g_sup = g_b // (SUPERBLOCK // ROWS_PER_BLOCK)
+        total_pos = extras_base + n_extra
+        # power-of-two bucket bounds the compiled-variant count; padded
+        # superblocks get no groups and are sliced away unread
+        n_sup_real = max(-(-max(total_pos, 1) // SUPERBLOCK), 1)
+        n_sup = _pad_pow2(n_sup_real)
 
-        slots = t_data * sublanes * LANE
-        if nnz and slots > max(max_inflation * nnz, 64 * 1024):
+        # only REAL superblocks need groups (empty real sups need one pad
+        # step to zero their output; bucket-padding sups are never read)
+        counts_per_sup = np.bincount(g_sup, minlength=n_sup_real) \
+            if len(g_sup) else np.zeros(n_sup_real, np.int64)
+        pad_per_sup = (-counts_per_sup) % S
+        pad_per_sup[counts_per_sup == 0] = S
+        pad_sup = np.repeat(np.arange(n_sup_real, dtype=np.int64),
+                            pad_per_sup)
+
+        all_sup = np.concatenate([g_sup, pad_sup])
+        order = np.argsort(all_sup, kind="stable")  # reals precede pads
+        n_groups = len(all_sup)
+
+        # memory-blowup guard: the layer-cap spill absorbs adversarial
+        # structure, so this only fires when the padded layout would still
+        # be both large in absolute terms (> 4M slots = 20 MB) and heavily
+        # inflated relative to nnz
+        slots = n_groups * CHUNKS * LANE
+        if nnz and slots > max_inflation * nnz and slots > (1 << 22):
             raise WindowEllOverflow(
                 f"window-ELL padding {slots} slots for {nnz} nnz "
                 f"(inflation {slots / nnz:.1f}x > {max_inflation}x)")
 
-        t_pad = _pad_pow2(t_data)
-        vals = np.zeros((t_pad * sublanes, LANE), np.float32)
-        lo = np.zeros((t_pad * sublanes, LANE), np.int8)
-        if nnz:
-            pos = np.searchsorted(ubw_all, ubw)  # ubw_all unique+sorted
-            tile_of_nnz = tile_base[pos[inv]] + layer // lpt
-            sub = c + CHUNKS * (layer % lpt)
-            flat = tile_of_nnz * (sublanes * LANE) + sub * LANE + lane
-            fv = vals.reshape(-1)
-            fl = lo.reshape(-1)
-            fv[flat] = csr.values
-            fl[flat] = (cols64 % LANE).astype(np.int8)
+        inv_order = np.empty(n_groups, np.int64)
+        inv_order[order] = np.arange(n_groups, dtype=np.int64)
+        group_start = np.zeros(len(ubw), np.int64)
+        if len(ubw):
+            np.cumsum(lmax[:-1], out=group_start[1:])
+        group_base = inv_order[group_start] if len(ubw) else group_start
 
-        tile_rb = np.full(t_pad, blocks - 1, np.int32)
-        tile_w = np.zeros(t_pad, np.int32)
-        tile_rb[:t_data] = (ubw_all // n_windows).repeat(tiles_all)
-        tile_w[:t_data] = (ubw_all % n_windows).repeat(tiles_all)
+        all_b = np.concatenate([g_b, pad_sup * (SUPERBLOCK // ROWS_PER_BLOCK)])
+        all_w = np.concatenate([g_w, np.zeros(len(pad_sup), np.int64)])
+        final_b = all_b[order]
+        final_w = all_w[order]
+        final_sup = all_sup[order]
+
+        # pad steps to a power-of-two bucket (bounds jit recompiles)
+        n_steps = n_groups // S
+        n_steps_pad = _pad_pow2(n_steps)
+        pad_groups = (n_steps_pad - n_steps) * S
+        if pad_groups:
+            final_b = np.concatenate([
+                final_b, np.full(pad_groups,
+                                 (n_sup - 1) * (SUPERBLOCK // ROWS_PER_BLOCK),
+                                 np.int64)])
+            final_w = np.concatenate([final_w,
+                                      np.zeros(pad_groups, np.int64)])
+            final_sup = np.concatenate([
+                final_sup, np.full(pad_groups, n_sup - 1, np.int64)])
+        n_groups_pad = n_steps_pad * S
+
+        vals = np.zeros((n_groups_pad * CHUNKS, LANE), np.float32)
+        lo = np.zeros((n_groups_pad * CHUNKS, LANE), np.int8)
+        if nnz:
+            group_of_nnz = group_base[inv] + layer
+            flat = group_of_nnz * (CHUNKS * LANE) + c * LANE + lane
+            vals.reshape(-1)[flat] = csr.values
+            lo.reshape(-1)[flat] = (cols64 % LANE).astype(np.int8)
 
         put = (lambda a: jax.device_put(a, device)) if device is not None \
             else jax.device_put
         return WindowEllPlan(
             vals=put(jnp.asarray(vals)),
             lo=put(jnp.asarray(lo)),
-            tile_rb=put(jnp.asarray(tile_rb)),
-            tile_w=put(jnp.asarray(tile_w)),
-            virt_to_row=put(jnp.asarray(virt_to_row.astype(np.int32))),
+            wg=put(jnp.asarray(final_w.astype(np.int32))),
+            sbg=put(jnp.asarray(
+                (final_b % (SUPERBLOCK // ROWS_PER_BLOCK)).astype(np.int32))),
+            sup_step=put(jnp.asarray(
+                final_sup[::S].astype(np.int32))),
+            extra_to_row=put(jnp.asarray(extra_to_row.astype(np.int32))),
             num_rows=rows,
             num_cols=csr.num_cols,
-            n_virt=n_virt,
-            blocks=blocks,
+            extras_base=int(extras_base),
+            n_extra=int(n_extra),
+            n_sup=int(n_sup),
             cols_pad=cols_pad,
-            sublanes=sublanes,
+            step_groups=S,
             split_rows=split_rows,
             occupancy=float(nnz / slots) if slots else 0.0,
         )
@@ -234,48 +316,50 @@ def _use_interpret() -> bool:
 
 
 @functools.lru_cache(maxsize=64)
-def _build_pallas(n_tiles: int, sublanes: int, blocks: int, cols8: int,
+def _build_pallas(n_steps: int, S: int, n_sup: int, cols8: int,
                   interpret: bool):
-    lpt = sublanes // 8
-
-    def kernel(rb_ref, w_ref, x_ref, v_ref, lo_ref, o_ref):
+    def kernel(wg_ref, sbg_ref, sup_ref, x_ref, v_ref, lo_ref, o_ref):
         i = pl.program_id(0)
-        w = w_ref[i]
-        table = x_ref[pl.ds(pl.multiple_of(w * CHUNKS, CHUNKS), CHUNKS), :]
-        lo_all = lo_ref[:].astype(jnp.int32)   # i8 storage → i32 gather idx
-        vals_all = v_ref[:]
-        partial = jnp.zeros((1, LANE), jnp.float32)
-        for k in range(lpt):
-            g = jnp.take_along_axis(table, lo_all[8 * k:8 * k + 8, :], axis=1)
-            partial = partial + jnp.sum(
-                vals_all[8 * k:8 * k + 8, :] * g, axis=0, keepdims=True)
-        first = i == 0
-        changed = rb_ref[i] != rb_ref[jnp.maximum(i - 1, 0)]
 
-        @pl.when(jnp.logical_or(first, changed))
+        @pl.when(jnp.logical_or(
+            i == 0, sup_ref[i] != sup_ref[jnp.maximum(i - 1, 0)]))
         def _():
             o_ref[:] = jnp.zeros_like(o_ref)
 
-        o_ref[0:1, :] = o_ref[0:1, :] + partial
+        lo_all = lo_ref[:].astype(jnp.int32)  # i8 storage → i32 gather idx
+        v_all = v_ref[:]
+        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (8, LANE), 0)
+        acc = jnp.zeros((8, LANE), jnp.float32)
+        for t in range(S):
+            w = wg_ref[i * S + t]
+            sb = sbg_ref[i * S + t]
+            table = x_ref[pl.ds(pl.multiple_of(w * CHUNKS, CHUNKS), CHUNKS), :]
+            g = jnp.take_along_axis(table, lo_all[8 * t:8 * t + 8, :], axis=1)
+            partial = jnp.sum(v_all[8 * t:8 * t + 8, :] * g, axis=0,
+                              keepdims=True)
+            acc = acc + jnp.where(sub_iota == sb,
+                                  jnp.broadcast_to(partial, (8, LANE)), 0.0)
+        o_ref[:] = o_ref[:] + acc
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_tiles,),
+        num_scalar_prefetch=3,
+        grid=(n_steps,),
         in_specs=[
-            pl.BlockSpec((cols8, LANE), lambda i, rb, w: (0, 0),
+            pl.BlockSpec((cols8, LANE), lambda i, *m: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((sublanes, LANE), lambda i, rb, w: (i, 0),
+            pl.BlockSpec((S * 8, LANE), lambda i, *m: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((sublanes, LANE), lambda i, rb, w: (i, 0),
+            pl.BlockSpec((S * 8, LANE), lambda i, *m: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((8, LANE), lambda i, rb, w: (rb[i], 0),
+        out_specs=pl.BlockSpec((8, LANE),
+                               lambda i, wg, sbg, sup: (sup[i], 0),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((blocks * 8, LANE), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_sup * 8, LANE), jnp.float32),
         interpret=interpret,
     )
 
@@ -287,12 +371,13 @@ def spmv_window_ell(plan: WindowEllPlan, x: jax.Array) -> jax.Array:
     x = jnp.asarray(x, jnp.float32)
     x_pad = jnp.pad(x, (0, plan.cols_pad - x.shape[0]))
     x2d = x_pad.reshape(plan.cols_pad // LANE, LANE)
-    fn = _build_pallas(plan.n_tiles, plan.sublanes, plan.blocks,
+    fn = _build_pallas(plan.n_steps, plan.step_groups, plan.n_sup,
                        plan.cols_pad // LANE, _use_interpret())
-    out = fn(plan.tile_rb, plan.tile_w, x2d, plan.vals, plan.lo)
-    y_virt = out.reshape(plan.blocks, 8, LANE)[:, 0, :].reshape(-1)
-    if plan.split_rows is None:
-        return y_virt[: plan.num_rows]
-    return jax.ops.segment_sum(
-        y_virt[: plan.n_virt], plan.virt_to_row,
-        num_segments=plan.num_rows, indices_are_sorted=True)
+    out = fn(plan.wg, plan.sbg, plan.sup_step, x2d, plan.vals, plan.lo)
+    y_flat = out.reshape(-1)          # position p = row-slot p
+    y = y_flat[: plan.num_rows]
+    if plan.n_extra:
+        extras = y_flat[plan.extras_base: plan.extras_base + plan.n_extra]
+        y = y + jax.ops.segment_sum(extras, plan.extra_to_row,
+                                    num_segments=plan.num_rows)
+    return y

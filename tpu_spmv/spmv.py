@@ -15,9 +15,10 @@ Deviations forced by the platform, all documented:
 * ``use_texture`` becomes ``use_vmem_x``: the Pallas kernels keep x resident
   in VMEM (the TPU's software-managed cache), which is the direct analog of
   the reference's texture-cached x reads (C11, ``spmv_kernels.cu:7-39``).
-* ``block_size`` (CUDA threads/block, default 256) maps to the Pallas tile
-  sublane count: ``sublanes = block_size // 8`` (default 32), preserving the
-  reference's configuration surface.
+* ``block_size`` (CUDA threads/block, default 256) maps to the Pallas
+  step width: ``step_groups = block_size // 4`` (default 64 groups of
+  (8,128) slots per grid step), preserving the reference's configuration
+  surface.
 """
 
 from __future__ import annotations
@@ -42,10 +43,11 @@ from .kernels.window_ell import WindowEllOverflow, WindowEllPlan, spmv_window_el
 # (the analog of the reference's texture-size practicality limit).
 VMEM_X_MAX_COLS = 1 << 21
 
-# merge-path virtual-row granularity: max nnz per virtual row (the TPU
-# analog of the reference's items-per-thread work quantum,
-# spmv_kernels.cu:79-84)
-MERGE_SPLIT_ROWS = 128
+# merge-path row-splitting granularity: rows longer than this are
+# stride-split into extra rows (the TPU analog of the reference's
+# items-per-thread work quantum, spmv_kernels.cu:79-84); large enough that
+# the extras-combine stays a negligible fraction of the kernel stream
+MERGE_SPLIT_ROWS = 512
 
 
 class KernelType(enum.IntEnum):
@@ -62,12 +64,12 @@ class SpMVConfig:
     """Reference ``SpMVConfig`` (``spmv.h:11-24``) with TPU-native knobs."""
 
     kernel_type: KernelType = KernelType.SCALAR_CSR
-    block_size: int = 256          # sublanes = block_size // 8
+    block_size: int = 256          # step_groups = block_size // 4
     use_vmem_x: bool = False       # texture-cache analog (C11)
 
     @property
-    def sublanes(self) -> int:
-        return max(8, (self.block_size // 8) // 8 * 8) if self.block_size >= 64 else 8
+    def step_groups(self) -> int:
+        return max(8, self.block_size // 4)
 
 
 @dataclasses.dataclass
@@ -91,13 +93,14 @@ def spmv_validate_dimensions(num_cols: int, vec_size: int) -> bool:
 
 
 def _plan_for(A: CSRMatrix, kernel_type: KernelType,
-              sublanes: int) -> WindowEllPlan:
-    key = (int(kernel_type), sublanes)
+              step_groups: int) -> WindowEllPlan:
+    key = (int(kernel_type), step_groups)
     plan = A._plan_cache.get(key)
     if plan is None:
         split = MERGE_SPLIT_ROWS if kernel_type == KernelType.MERGE_PATH \
             else None
-        plan = WindowEllPlan.build(A, sublanes=sublanes, split_rows=split)
+        plan = WindowEllPlan.build(A, step_groups=step_groups,
+                                   split_rows=split)
         A._plan_cache[key] = plan
     return plan
 
@@ -164,7 +167,7 @@ def _resolve_csr_kernel(A: CSRMatrix, kernel_type: KernelType,
     """Pick the jitted kernel callable + its bound matrix argument."""
     if kernel_type in (KernelType.VECTOR_CSR, KernelType.MERGE_PATH) \
             and A.num_cols <= VMEM_X_MAX_COLS:
-        plan = _plan_for(A, kernel_type, config.sublanes)
+        plan = _plan_for(A, kernel_type, config.step_groups)
         return spmv_window_ell, (plan,)
     # SCALAR_CSR, ELL_KERNEL-on-CSR, or cols too large for VMEM residency
     return _scalar_entry, (A.to_device(),)

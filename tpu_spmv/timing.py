@@ -1,19 +1,26 @@
 """Device timing utilities.
 
 The reference times every kernel with cudaEvents around the launch
-(``spmv_kernels.cu:258-310``).  There is no TPU analog of device-side event
-timestamps visible to the host; worse, on remote-attached TPUs the runtime's
-dispatch is asynchronous and ``block_until_ready`` can return before the
-computation finishes, so wall-clocking a single dispatch measures RPC
-latency, not kernel time.
+(``spmv_kernels.cu:258-310``).  On a remote-attached TPU neither device
+events nor wall-clocking a dispatch work:
 
-The reliable protocol (used by the benchmark harness, C14): chain ``iters``
-executions of the op *inside one jitted program* via ``lax.fori_loop`` with a
-data dependency between iterations (so XLA cannot hoist or CSE the op), then
-force completion by fetching one scalar to the host.  Per-iteration time =
-total / iters.  The data dependency is a ``carry * 1e-30`` perturbation of
-one float input — a relative change of ~1e-30, far below fp32 resolution of
-any result we compare.
+* the runtime's ``block_until_ready`` can return before execution finishes,
+  and every jitted dispatch carries a large constant round-trip cost
+  (~30 ms measured) that swamps sub-millisecond kernels;
+* XLA dead-code-eliminates work whose output is not fully consumed, so
+  "run it and read one element" can measure nothing at all.
+
+The protocol here fixes both:
+
+1. chain ``n`` executions *inside one jitted program* via ``lax.fori_loop``
+   with a data dependency (``carry * 1e-30`` perturbation of one float
+   input) so XLA cannot hoist or CSE the op across iterations;
+2. consume the result with a full ``jnp.sum`` of a float leaf (a reduce
+   cannot be sliced away, so the whole computation is live);
+3. measure the **slope** between an ``n``-iteration and a ``3n``-iteration
+   loop: per-iteration time = (T(3n) − T(n)) / 2n.  The constant dispatch
+   cost cancels exactly; ``n`` is auto-scaled so the differenced work is
+   well above round-trip jitter.
 """
 
 from __future__ import annotations
@@ -24,6 +31,12 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# measured constant per-dispatch round trip on the remote TPU runtime
+_DISPATCH_FLOOR_S = 0.035
+# target differenced-work duration per measurement (seconds)
+_TARGET_WORK_S = 0.25
+_MAX_ITERS = 50_000
 
 
 def _perturb(tree, carry):
@@ -42,50 +55,78 @@ def _perturb(tree, carry):
 
 
 def _probe_scalar(result) -> jax.Array:
-    """A data-dependent f32 scalar from an arbitrary result pytree."""
+    """A DCE-proof data-dependent scalar: full-sum of the first float leaf."""
     for leaf in jax.tree_util.tree_leaves(result):
         if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
-            return jnp.ravel(leaf)[0].astype(jnp.float32)
+            return jnp.sum(leaf).astype(jnp.float32)
     return jnp.float32(0.0)
 
 
-def time_jitted(fn: Callable, *args, iters: int = 10,
-                warmup: bool = True) -> float:
-    """Seconds per execution of ``fn(*args)``, measured by chaining ``iters``
-    executions inside one jitted program (see module docstring)."""
-
+def _make_loop(fn: Callable, iters: int):
     @jax.jit
     def looped(*a):
         def body(_, carry):
             res = fn(*_perturb(a, carry))
-            return _probe_scalar(res)
+            return _probe_scalar(res) * jnp.float32(1e-30)
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+    return looped
 
-    if warmup:
-        _ = float(np.asarray(looped(*args)))  # compile + one full run
+
+def _run(looped, args) -> float:
     t0 = time.perf_counter()
-    _ = float(np.asarray(looped(*args)))      # host fetch forces completion
-    return (time.perf_counter() - t0) / iters
+    _ = float(np.asarray(looped(*args)))   # host fetch forces completion
+    return time.perf_counter() - t0
 
 
-def time_runs(fn: Callable, *args, num_runs: int = 20, iters_per_run: int = 5,
+def time_jitted(fn: Callable, *args, iters: int | None = None,
+                warmup: bool = True) -> float:
+    """Seconds per execution of ``fn(*args)`` (see module docstring).
+
+    ``iters`` optionally pins the base loop length; by default it is
+    calibrated so the differenced measurement covers ~250 ms of real work.
+    """
+    if iters is None:
+        probe = _make_loop(fn, 4)
+        t_probe = _run(probe, args)       # includes compile; run again clean
+        t_probe = _run(probe, args)
+        per = max((t_probe - _DISPATCH_FLOOR_S) / 4, 1e-6)
+        iters = int(min(max(4, _TARGET_WORK_S / (2 * per)), _MAX_ITERS))
+    f1 = _make_loop(fn, iters)
+    f3 = _make_loop(fn, 3 * iters)
+    _run(f1, args)                        # compile + warm
+    _run(f3, args)
+    best = None
+    for _ in range(2):                    # two slope estimates, keep best
+        t1 = _run(f1, args)
+        t3 = _run(f3, args)
+        dt = (t3 - t1) / (2 * iters)
+        if dt > 0 and (best is None or dt < best):
+            best = dt
+    if best is None:                      # degenerate (work below jitter)
+        best = max((_run(f3, args) - _DISPATCH_FLOOR_S) / (3 * iters), 1e-9)
+    return best
+
+
+def time_runs(fn: Callable, *args, num_runs: int = 20,
+              iters_per_run: int | None = None,
               warmup_runs: int = 1) -> list[float]:
-    """Benchmark-harness protocol: ``num_runs`` independent measurements
-    (each itself an ``iters_per_run``-chained jitted loop), for avg/min/max/
-    stddev statistics (reference protocol, ``benchmark.cu:41-72``)."""
-
-    @jax.jit
-    def looped(*a):
-        def body(_, carry):
-            res = fn(*_perturb(a, carry))
-            return _probe_scalar(res)
-        return jax.lax.fori_loop(0, iters_per_run, body, jnp.float32(0.0))
-
+    """Benchmark-harness protocol: ``num_runs`` independent slope
+    measurements for avg/min/max/stddev statistics (reference protocol,
+    ``benchmark.cu:41-72``)."""
+    if iters_per_run is None:
+        probe = _make_loop(fn, 4)
+        t_probe = _run(probe, args)
+        t_probe = _run(probe, args)
+        per = max((t_probe - _DISPATCH_FLOOR_S) / 4, 1e-6)
+        iters_per_run = int(min(max(4, 0.05 / per), _MAX_ITERS))
+    f1 = _make_loop(fn, iters_per_run)
+    f3 = _make_loop(fn, 3 * iters_per_run)
     for _ in range(max(warmup_runs, 1)):
-        _ = float(np.asarray(looped(*args)))
+        _run(f1, args)
+        _run(f3, args)
     times = []
     for _ in range(num_runs):
-        t0 = time.perf_counter()
-        _ = float(np.asarray(looped(*args)))
-        times.append((time.perf_counter() - t0) / iters_per_run)
+        t1 = _run(f1, args)
+        t3 = _run(f3, args)
+        times.append(max((t3 - t1) / (2 * iters_per_run), 1e-9))
     return times
