@@ -1,0 +1,108 @@
+"""Native C++ runtime tests: NumPy/native equivalence + Matrix Market I/O."""
+
+import numpy as np
+import pytest
+
+from tpu_spmv import csr_from_dense, spmv_cpu_csr
+from tpu_spmv import native
+from tpu_spmv.io import load_matrix_market, save_matrix_market
+from tpu_spmv.errors import InvalidFormatError, FileIOError
+
+
+class TestCumcount:
+    def test_matches_numpy(self, rng):
+        for _ in range(20):
+            n = rng.uniform_int(0, 5000)
+            keys = rng.rng.integers(0, 97, n).astype(np.int64)
+            got = native.cumcount(keys)
+            # independent reference
+            ref = np.zeros(n, np.int64)
+            seen = {}
+            for i, k in enumerate(keys):
+                ref[i] = seen.get(int(k), 0)
+                seen[int(k)] = ref[i] + 1
+            np.testing.assert_array_equal(got, ref)
+
+
+class TestNativeOracle:
+    def test_matches_python_oracle(self, rng):
+        if not native.available():
+            pytest.skip("native library not built")
+        for _ in range(10):
+            dense = rng.dense_matrix(rng.uniform_int(1, 50),
+                                     rng.uniform_int(1, 50), 0.3)
+            csr = csr_from_dense(dense)
+            x = rng.vector(csr.num_cols)
+            y_native = spmv_cpu_csr(csr, x)
+            # strict left-to-right fp32 accumulation, the reference's exact
+            # order (spmv_cpu.cpp:6-16); native is built -ffp-contract=off
+            # so it must match bitwise
+            y_seq = np.zeros(csr.num_rows, np.float32)
+            for i in range(csr.num_rows):
+                s = np.float32(0.0)
+                for j in range(csr.row_ptrs[i], csr.row_ptrs[i + 1]):
+                    s = np.float32(
+                        s + np.float32(csr.values[j] *
+                                       x[csr.col_indices[j]]))
+                y_seq[i] = s
+            np.testing.assert_array_equal(y_native, y_seq)
+
+
+class TestMatrixMarket:
+    def test_roundtrip(self, rng, tmp_path):
+        for i in range(10):
+            dense = rng.dense_matrix(rng.uniform_int(1, 30),
+                                     rng.uniform_int(1, 30), 0.3)
+            csr = csr_from_dense(dense)
+            path = str(tmp_path / f"m{i}.mtx")
+            save_matrix_market(csr, path)
+            back = load_matrix_market(path)
+            assert back.num_rows == csr.num_rows
+            assert back.num_cols == csr.num_cols
+            np.testing.assert_allclose(back.to_dense(), dense, rtol=1e-6)
+
+    def test_symmetric(self, tmp_path):
+        path = str(tmp_path / "sym.mtx")
+        with open(path, "w") as f:
+            f.write("%%MatrixMarket matrix coordinate real symmetric\n")
+            f.write("3 3 2\n")
+            f.write("2 1 5.0\n")
+            f.write("3 3 7.0\n")
+        m = load_matrix_market(path)
+        dense = m.to_dense()
+        assert dense[1, 0] == 5.0 and dense[0, 1] == 5.0  # mirrored
+        assert dense[2, 2] == 7.0
+        assert m.nnz == 3
+
+    def test_pattern(self, tmp_path):
+        path = str(tmp_path / "pat.mtx")
+        with open(path, "w") as f:
+            f.write("%%MatrixMarket matrix coordinate pattern general\n")
+            f.write("2 2 2\n")
+            f.write("1 1\n")
+            f.write("2 2\n")
+        m = load_matrix_market(path)
+        np.testing.assert_array_equal(m.to_dense(), np.eye(2, dtype=np.float32))
+
+    def test_duplicates_summed(self, tmp_path):
+        path = str(tmp_path / "dup.mtx")
+        with open(path, "w") as f:
+            f.write("%%MatrixMarket matrix coordinate real general\n")
+            f.write("2 2 3\n")
+            f.write("1 1 1.5\n")
+            f.write("1 1 2.5\n")
+            f.write("2 2 1.0\n")
+        m = load_matrix_market(path)
+        assert m.get_element(0, 0) == 4.0
+        assert m.nnz == 2
+
+    def test_bad_file(self, tmp_path):
+        path = str(tmp_path / "bad.mtx")
+        with open(path, "w") as f:
+            f.write("not a matrix\n")
+        with pytest.raises((InvalidFormatError, FileIOError)):
+            load_matrix_market(path)
+
+    def test_missing_file(self, tmp_path):
+        with pytest.raises(FileIOError):
+            load_matrix_market(str(tmp_path / "nope.mtx"))

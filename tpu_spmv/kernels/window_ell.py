@@ -73,17 +73,11 @@ def _pad_pow2(n: int, minimum: int = 1) -> int:
 
 
 def _cumcount(keys: np.ndarray) -> np.ndarray:
-    """Occurrence index of each element within its key group."""
-    n = len(keys)
-    if n == 0:
-        return np.zeros(0, np.int64)
-    order = np.argsort(keys, kind="stable")
-    sk = keys[order]
-    starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
-    counts = np.diff(np.r_[starts, n])
-    out = np.empty(n, np.int64)
-    out[order] = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
-    return out
+    """Occurrence index of each element within its key group (native hash
+    pass when the C++ library is built; NumPy sort fallback otherwise)."""
+    from ..native import cumcount
+
+    return cumcount(keys)
 
 
 @jax.tree_util.register_pytree_node_class

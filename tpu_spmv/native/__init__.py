@@ -1,0 +1,178 @@
+"""ctypes bindings for the native runtime library (see ``native.cc``).
+
+Every entry point has a NumPy fallback, selected automatically when the
+shared library has not been built (``python -m tpu_spmv.native.build``) —
+the Python API is identical either way, and the test suite asserts
+native/NumPy equivalence when the library is present.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_HERE, "libtpu_spmv_native.so")
+
+_lib = None
+if os.path.exists(_LIB_PATH) and not os.environ.get("TPU_SPMV_NO_NATIVE"):
+    try:
+        _lib = ctypes.CDLL(_LIB_PATH)
+        _lib.cumcount_i64.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64)]
+        _lib.spmv_cpu_csr_f32.argtypes = [
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float)]
+        _lib.coo_to_csr_f32.argtypes = [
+            ctypes.c_int32, ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float)]
+        _lib.mtx_open.restype = ctypes.c_void_p
+        _lib.mtx_open.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32)]
+        _lib.mtx_fetch.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float)]
+        _lib.mtx_close.argtypes = [ctypes.c_void_p]
+    except OSError:
+        _lib = None
+
+
+def available() -> bool:
+    return _lib is not None
+
+
+def _p(arr, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def cumcount(keys: np.ndarray) -> np.ndarray:
+    """Occurrence index of each element within its key group."""
+    keys = np.ascontiguousarray(keys, np.int64)
+    n = len(keys)
+    if _lib is not None and n:
+        out = np.empty(n, np.int64)
+        _lib.cumcount_i64(_p(keys, ctypes.c_int64), n,
+                          _p(out, ctypes.c_int64))
+        return out
+    # NumPy fallback: stable argsort + run decomposition
+    if n == 0:
+        return np.zeros(0, np.int64)
+    order = np.argsort(keys, kind="stable")
+    sk = keys[order]
+    starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+    counts = np.diff(np.r_[starts, n])
+    out = np.empty(n, np.int64)
+    out[order] = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
+    return out
+
+
+def spmv_cpu_csr_native(num_rows: int, row_ptrs: np.ndarray,
+                        col_indices: np.ndarray, values: np.ndarray,
+                        x: np.ndarray, y: np.ndarray) -> bool:
+    """Native golden oracle; returns False if the library is absent."""
+    if _lib is None:
+        return False
+    _lib.spmv_cpu_csr_f32(
+        num_rows,
+        _p(np.ascontiguousarray(row_ptrs, np.int32), ctypes.c_int32),
+        _p(np.ascontiguousarray(col_indices, np.int32), ctypes.c_int32),
+        _p(np.ascontiguousarray(values, np.float32), ctypes.c_float),
+        _p(np.ascontiguousarray(x, np.float32), ctypes.c_float),
+        _p(y, ctypes.c_float))
+    return True
+
+
+def coo_to_csr(num_rows: int, coo_rows: np.ndarray, coo_cols: np.ndarray,
+               coo_vals: np.ndarray):
+    """Stable COO→CSR; returns (row_ptrs, col_indices, values)."""
+    nnz = len(coo_rows)
+    row_ptrs = np.zeros(num_rows + 1, np.int32)
+    out_cols = np.empty(nnz, np.int32)
+    out_vals = np.empty(nnz, np.float32)
+    if _lib is not None:
+        _lib.coo_to_csr_f32(
+            num_rows, nnz,
+            _p(np.ascontiguousarray(coo_rows, np.int32), ctypes.c_int32),
+            _p(np.ascontiguousarray(coo_cols, np.int32), ctypes.c_int32),
+            _p(np.ascontiguousarray(coo_vals, np.float32), ctypes.c_float),
+            _p(row_ptrs, ctypes.c_int32), _p(out_cols, ctypes.c_int32),
+            _p(out_vals, ctypes.c_float))
+        return row_ptrs, out_cols, out_vals
+    order = np.argsort(np.asarray(coo_rows, np.int64), kind="stable")
+    rr = np.asarray(coo_rows, np.int64)[order]
+    out_cols[:] = np.asarray(coo_cols, np.int32)[order]
+    out_vals[:] = np.asarray(coo_vals, np.float32)[order]
+    counts = np.bincount(rr, minlength=num_rows)
+    row_ptrs[1:] = np.cumsum(counts)
+    return row_ptrs, out_cols, out_vals
+
+
+def mtx_read(path: str):
+    """Matrix Market → (num_rows, num_cols, coo_rows, coo_cols, coo_vals).
+
+    Uses the native parser when available, else a pure-Python one.
+    """
+    if _lib is not None:
+        nr = ctypes.c_int32()
+        nc = ctypes.c_int32()
+        nnz = ctypes.c_int64()
+        err = ctypes.c_int32()
+        handle = _lib.mtx_open(path.encode(), ctypes.byref(nr),
+                               ctypes.byref(nc), ctypes.byref(nnz),
+                               ctypes.byref(err))
+        if not handle:
+            from ..errors import FileIOError, InvalidFormatError
+
+            raise (InvalidFormatError if err.value == -5 else FileIOError)(
+                f"mtx_read({path}): error {err.value}")
+        rows = np.empty(nnz.value, np.int32)
+        cols = np.empty(nnz.value, np.int32)
+        vals = np.empty(nnz.value, np.float32)
+        _lib.mtx_fetch(handle, _p(rows, ctypes.c_int32),
+                       _p(cols, ctypes.c_int32), _p(vals, ctypes.c_float))
+        _lib.mtx_close(handle)
+        return int(nr.value), int(nc.value), rows, cols, vals
+    return _mtx_read_py(path)
+
+
+def _mtx_read_py(path: str):
+    from ..errors import FileIOError, InvalidFormatError
+
+    try:
+        f = open(path, "r")
+    except OSError as e:
+        raise FileIOError(str(e)) from e
+    with f:
+        header = f.readline()
+        if not header.startswith("%%MatrixMarket"):
+            raise InvalidFormatError("not a MatrixMarket file")
+        if "coordinate" not in header or "complex" in header:
+            raise InvalidFormatError("unsupported MatrixMarket variant")
+        pattern = "pattern" in header
+        symmetric = "symmetric" in header
+        line = f.readline()
+        while line.startswith("%"):
+            line = f.readline()
+        nr, nc, n = (int(v) for v in line.split()[:3])
+        rows, cols, vals = [], [], []
+        for _ in range(n):
+            parts = f.readline().split()
+            r, c = int(parts[0]) - 1, int(parts[1]) - 1
+            v = 1.0 if pattern else float(parts[2])
+            rows.append(r)
+            cols.append(c)
+            vals.append(v)
+            if symmetric and r != c:
+                rows.append(c)
+                cols.append(r)
+                vals.append(v)
+        return nr, nc, np.asarray(rows, np.int32), \
+            np.asarray(cols, np.int32), np.asarray(vals, np.float32)

@@ -1,0 +1,178 @@
+// tpu_spmv native runtime — C++ host-side hot paths.
+//
+// The reference implements its entire host layer in C++ (csr_matrix.cpp,
+// ell_matrix.cpp, spmv_cpu.cpp); this library is the TPU build's native
+// equivalent for the paths where Python/NumPy is the bottleneck:
+//
+//  * cumcount_i64 / group_max_i64 — the window-ELL planner's per-cell layer
+//    assignment (replaces two O(nnz log nnz) argsorts with one hash pass);
+//  * spmv_cpu_csr_f32 — the golden oracle (spmv_cpu.cpp:6-16) at native
+//    speed, with the exact per-row sequential fp32 accumulation order;
+//  * coo_to_csr_f32 — COO→CSR conversion (counting sort by row, stable, so
+//    column order within a row is preserved);
+//  * mtx_parse — Matrix Market (coordinate, real/integer/pattern,
+//    general/symmetric) parser, the data-loader component.
+//
+// Build: python -m tpu_spmv.native.build   (g++ -O3 -shared -fPIC)
+// Python binding: ctypes (tpu_spmv/native/__init__.py), with NumPy
+// fallbacks when the library is absent.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <unordered_map>
+#include <vector>
+
+extern "C" {
+
+// Occurrence index of each element within its key group.
+// Single hash pass, O(n) expected.
+void cumcount_i64(const int64_t* keys, int64_t n, int64_t* out) {
+  std::unordered_map<int64_t, int64_t> counts;
+  counts.reserve(static_cast<size_t>(n) * 2);
+  for (int64_t i = 0; i < n; ++i) {
+    out[i] = counts[keys[i]]++;
+  }
+}
+
+// Per-group maximum of (value+1) — the planner's layer-count reduction.
+// keys need not be sorted; out_keys/out_max are parallel arrays sized by
+// the return value (number of distinct keys), written in first-appearance
+// order.  Caller provides capacity n.
+int64_t group_max_i64(const int64_t* keys, const int64_t* values, int64_t n,
+                      int64_t* out_keys, int64_t* out_max) {
+  std::unordered_map<int64_t, int64_t> index;
+  index.reserve(static_cast<size_t>(n) * 2);
+  int64_t m = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    auto it = index.find(keys[i]);
+    if (it == index.end()) {
+      index.emplace(keys[i], m);
+      out_keys[m] = keys[i];
+      out_max[m] = values[i] + 1;
+      ++m;
+    } else if (values[i] + 1 > out_max[it->second]) {
+      out_max[it->second] = values[i] + 1;
+    }
+  }
+  return m;
+}
+
+// Golden CPU oracle: y = A x, per-row sequential fp32 accumulation
+// (identical order to the reference spmv_cpu_csr, spmv_cpu.cpp:6-16).
+void spmv_cpu_csr_f32(int32_t num_rows, const int32_t* row_ptrs,
+                      const int32_t* col_indices, const float* values,
+                      const float* x, float* y) {
+  for (int32_t i = 0; i < num_rows; ++i) {
+    float sum = 0.0f;
+    for (int32_t j = row_ptrs[i]; j < row_ptrs[i + 1]; ++j) {
+      sum += values[j] * x[col_indices[j]];
+    }
+    y[i] = sum;
+  }
+}
+
+// COO → CSR with a stable counting sort by row (preserves input order of
+// entries within a row, so pre-sorted columns stay sorted).
+void coo_to_csr_f32(int32_t num_rows, int64_t nnz, const int32_t* coo_rows,
+                    const int32_t* coo_cols, const float* coo_vals,
+                    int32_t* row_ptrs, int32_t* out_cols, float* out_vals) {
+  std::memset(row_ptrs, 0, sizeof(int32_t) * (num_rows + 1));
+  for (int64_t i = 0; i < nnz; ++i) row_ptrs[coo_rows[i] + 1]++;
+  for (int32_t r = 0; r < num_rows; ++r) row_ptrs[r + 1] += row_ptrs[r];
+  std::vector<int32_t> cursor(row_ptrs, row_ptrs + num_rows);
+  for (int64_t i = 0; i < nnz; ++i) {
+    int32_t p = cursor[coo_rows[i]]++;
+    out_cols[p] = coo_cols[i];
+    out_vals[p] = coo_vals[i];
+  }
+}
+
+// ---- Matrix Market loader ----
+// Two-phase protocol: mtx_open parses the whole file into an internal
+// buffer and returns a handle + dims; mtx_fetch copies the COO arrays out;
+// mtx_close frees.  Supports coordinate format, real/integer/pattern
+// fields, general/symmetric symmetry.  Returns 0 on success, negative
+// error codes mirroring SpMVError (-6 FILE_IO, -5 INVALID_FORMAT).
+
+struct MtxData {
+  std::vector<int32_t> rows, cols;
+  std::vector<float> vals;
+  int32_t num_rows = 0, num_cols = 0;
+};
+
+static int mtx_parse_stream(FILE* f, MtxData* d) {
+  char line[1024];
+  if (!std::fgets(line, sizeof line, f)) return -6;
+  if (std::strncmp(line, "%%MatrixMarket", 14) != 0) return -5;
+  bool pattern = std::strstr(line, "pattern") != nullptr;
+  bool symmetric = std::strstr(line, "symmetric") != nullptr;
+  if (!std::strstr(line, "coordinate")) return -5;
+  if (std::strstr(line, "complex")) return -5;
+  // skip comments
+  long nnz_declared = 0;
+  for (;;) {
+    if (!std::fgets(line, sizeof line, f)) return -6;
+    if (line[0] == '%') continue;
+    long r, c, n;
+    if (std::sscanf(line, "%ld %ld %ld", &r, &c, &n) != 3) return -5;
+    d->num_rows = static_cast<int32_t>(r);
+    d->num_cols = static_cast<int32_t>(c);
+    nnz_declared = n;
+    break;
+  }
+  d->rows.reserve(nnz_declared * (symmetric ? 2 : 1));
+  d->cols.reserve(nnz_declared * (symmetric ? 2 : 1));
+  d->vals.reserve(nnz_declared * (symmetric ? 2 : 1));
+  for (long i = 0; i < nnz_declared; ++i) {
+    long r, c;
+    double v = 1.0;
+    if (!std::fgets(line, sizeof line, f)) return -6;
+    int got = pattern ? std::sscanf(line, "%ld %ld", &r, &c)
+                      : std::sscanf(line, "%ld %ld %lf", &r, &c, &v);
+    if (got < (pattern ? 2 : 3)) return -5;
+    d->rows.push_back(static_cast<int32_t>(r - 1));  // 1-based → 0-based
+    d->cols.push_back(static_cast<int32_t>(c - 1));
+    d->vals.push_back(static_cast<float>(v));
+    if (symmetric && r != c) {
+      d->rows.push_back(static_cast<int32_t>(c - 1));
+      d->cols.push_back(static_cast<int32_t>(r - 1));
+      d->vals.push_back(static_cast<float>(v));
+    }
+  }
+  return 0;
+}
+
+void* mtx_open(const char* path, int32_t* num_rows, int32_t* num_cols,
+               int64_t* nnz, int32_t* error) {
+  FILE* f = std::fopen(path, "r");
+  if (!f) {
+    *error = -6;
+    return nullptr;
+  }
+  auto* d = new MtxData();
+  int rc = mtx_parse_stream(f, d);
+  std::fclose(f);
+  if (rc != 0) {
+    delete d;
+    *error = rc;
+    return nullptr;
+  }
+  *num_rows = d->num_rows;
+  *num_cols = d->num_cols;
+  *nnz = static_cast<int64_t>(d->rows.size());
+  *error = 0;
+  return d;
+}
+
+void mtx_fetch(void* handle, int32_t* rows, int32_t* cols, float* vals) {
+  auto* d = static_cast<MtxData*>(handle);
+  std::memcpy(rows, d->rows.data(), d->rows.size() * sizeof(int32_t));
+  std::memcpy(cols, d->cols.data(), d->cols.size() * sizeof(int32_t));
+  std::memcpy(vals, d->vals.data(), d->vals.size() * sizeof(float));
+}
+
+void mtx_close(void* handle) { delete static_cast<MtxData*>(handle); }
+
+}  // extern "C"

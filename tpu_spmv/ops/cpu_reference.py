@@ -19,10 +19,19 @@ from ..ell import ELLMatrix
 
 
 def spmv_cpu_csr(A: CSRMatrix, x: np.ndarray, y: np.ndarray | None = None) -> np.ndarray:
-    """y = A @ x for CSR (reference ``spmv_cpu.cpp:6-16``)."""
+    """y = A @ x for CSR (reference ``spmv_cpu.cpp:6-16``).
+
+    Uses the native C++ oracle when built (identical per-row sequential
+    fp32 accumulation, ~100x faster); NumPy otherwise.
+    """
     x = np.asarray(x, dtype=np.float32)
     if y is None:
         y = np.zeros(A.num_rows, np.float32)
+    from ..native import spmv_cpu_csr_native
+
+    if A.num_rows and spmv_cpu_csr_native(A.num_rows, A.row_ptrs,
+                                          A.col_indices, A.values, x, y):
+        return y
     gathered = A.values * x[A.col_indices] if A.nnz else \
         np.zeros(0, np.float32)
     for i in range(A.num_rows):

@@ -73,6 +73,35 @@ class RandomGenerator:
         return CSRMatrix(rows, cols, vals, cols_arr, row_ptrs)
 
 
+def web_graph_csr(rng: RandomGenerator, rows: int, cols: int,
+                  avg_nnz: float = 16.0, alpha_row: float = 1.6,
+                  col_beta: float = 2.5):
+    """Web-graph-like CSR: power-law row lengths AND power-law column
+    popularity (in-degree skew), vectorized.
+
+    Real graphs have both skews; column popularity concentrated on hub
+    columns is what makes the window-ELL x-locality work, exactly as the
+    texture cache served hub columns in the reference (C11).
+    """
+    from ..csr import CSRMatrix
+
+    raw = rng.rng.pareto(alpha_row, rows) + 1.0
+    lens = np.minimum((raw * avg_nnz / raw.mean()).astype(np.int64), cols)
+    total = int(lens.sum())
+    rr = np.repeat(np.arange(rows, dtype=np.int64), lens)
+    u = rng.rng.random(total)
+    cc = np.minimum((cols * u ** col_beta).astype(np.int64), cols - 1)
+    key = np.unique(rr * cols + cc)   # dedupe + sort (rows major, cols asc)
+    rr2 = (key // cols).astype(np.int64)
+    cc2 = (key % cols).astype(np.int32)
+    nnz = len(key)
+    row_nnz = np.bincount(rr2, minlength=rows)
+    row_ptrs = np.zeros(rows + 1, np.int32)
+    np.cumsum(row_nnz, out=row_ptrs[1:])
+    vals = rng.rng.uniform(0.1, 1.0, nnz).astype(np.float32)
+    return CSRMatrix(rows, cols, vals, cc2, row_ptrs)
+
+
 def generate_random_dense_matrix(rng: RandomGenerator, rows: int, cols: int,
                                  density: float = 0.1) -> np.ndarray:
     return rng.dense_matrix(rows, cols, density)
