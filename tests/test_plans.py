@@ -19,11 +19,14 @@ from conftest import DEVICE_PROP_ITERS
 
 
 def plan_slots_match_nnz(plan, csr):
-    """Every nnz lands in exactly one slot; all other slots are zero."""
+    """Every nnz lands in exactly one slot (plus one unit-valued combine
+    slot per extra row — the in-kernel fold of the extras scatter); all
+    other slots are zero."""
     vals = np.asarray(plan.vals)
     assert float(np.abs(vals).sum()) == pytest.approx(
-        float(np.abs(csr.values).sum()), rel=1e-5)
-    assert int((vals != 0).sum()) == int((csr.values != 0).sum())
+        float(np.abs(csr.values).sum()) + plan.n_extra, rel=1e-5)
+    assert int((vals != 0).sum()) == \
+        int((csr.values != 0).sum()) + plan.n_extra
 
 
 class TestPlanStructure:

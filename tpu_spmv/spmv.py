@@ -16,9 +16,10 @@ Deviations forced by the platform, all documented:
   in VMEM (the TPU's software-managed cache), which is the direct analog of
   the reference's texture-cached x reads (C11, ``spmv_kernels.cu:7-39``).
 * ``block_size`` (CUDA threads/block, default 256) maps to the Pallas
-  step width: ``step_groups = block_size // 4`` (default 64 groups of
-  (8,128) slots per grid step), preserving the reference's configuration
-  surface.
+  step width: ``step_groups = block_size // 2`` groups of (8,128) slots per
+  grid step, preserving the reference's configuration surface.  The default
+  block_size picks the platform-tuned step width (128 on TPU — measured to
+  saturate HBM — and 8 under interpret mode for cheap test tracing).
 """
 
 from __future__ import annotations
@@ -45,9 +46,11 @@ VMEM_X_MAX_COLS = 1 << 21
 
 # merge-path row-splitting granularity: rows longer than this are
 # stride-split into extra rows (the TPU analog of the reference's
-# items-per-thread work quantum, spmv_kernels.cu:79-84); large enough that
-# the extras-combine stays a negligible fraction of the kernel stream
-MERGE_SPLIT_ROWS = 512
+# items-per-thread work quantum, spmv_kernels.cu:79-84); 128 measured
+# fastest on power-law TPU benchmarks (finer splits spread heavy rows
+# across lanes; the extras combine is folded into the kernel so extra
+# rows are cheap)
+MERGE_SPLIT_ROWS = 128
 
 
 class KernelType(enum.IntEnum):
@@ -64,12 +67,15 @@ class SpMVConfig:
     """Reference ``SpMVConfig`` (``spmv.h:11-24``) with TPU-native knobs."""
 
     kernel_type: KernelType = KernelType.SCALAR_CSR
-    block_size: int = 256          # step_groups = block_size // 4
+    block_size: int = 256          # step_groups = block_size // 2
     use_vmem_x: bool = False       # texture-cache analog (C11)
 
     @property
-    def step_groups(self) -> int:
-        return max(8, self.block_size // 4)
+    def step_groups(self) -> int | None:
+        """Pallas step width; ``None`` = platform-tuned default."""
+        if self.block_size == 256:
+            return None
+        return max(8, self.block_size // 2)
 
 
 @dataclasses.dataclass

@@ -39,6 +39,12 @@ _TARGET_WORK_S = 0.25
 _MAX_ITERS = 50_000
 
 
+def _max_iters() -> int:
+    """Cap chained-loop depth off-TPU: interpret-mode Pallas is ~1000x
+    slower, and CPU timing is functional (not a perf surface)."""
+    return 8 if jax.devices()[0].platform != "tpu" else _MAX_ITERS
+
+
 def _perturb(tree, carry):
     """Add carry*1e-30 to the first float leaf (dependency injection)."""
     leaves, treedef = jax.tree_util.tree_flatten(tree)
@@ -90,7 +96,7 @@ def time_jitted(fn: Callable, *args, iters: int | None = None,
         t_probe = _run(probe, args)       # includes compile; run again clean
         t_probe = _run(probe, args)
         per = max((t_probe - _DISPATCH_FLOOR_S) / 4, 1e-6)
-        iters = int(min(max(4, _TARGET_WORK_S / (2 * per)), _MAX_ITERS))
+        iters = int(min(max(4, _TARGET_WORK_S / (2 * per)), _max_iters()))
     f1 = _make_loop(fn, iters)
     f3 = _make_loop(fn, 3 * iters)
     _run(f1, args)                        # compile + warm
@@ -118,7 +124,7 @@ def time_runs(fn: Callable, *args, num_runs: int = 20,
         t_probe = _run(probe, args)
         t_probe = _run(probe, args)
         per = max((t_probe - _DISPATCH_FLOOR_S) / 4, 1e-6)
-        iters_per_run = int(min(max(4, 0.05 / per), _MAX_ITERS))
+        iters_per_run = int(min(max(4, 0.05 / per), _max_iters()))
     f1 = _make_loop(fn, iters_per_run)
     f3 = _make_loop(fn, 3 * iters_per_run)
     for _ in range(max(warmup_runs, 1)):
