@@ -86,7 +86,11 @@ class TestProperty9ELL:
             expected = spmv_cpu_ell(ell, x)
             res = spmv_ell(ell, x)
             assert res.error_code == 0
-            assert spmv_rel_equal(res.y_host(), expected)
+            # the Pallas ELL path accumulates in packed-cell order, not the
+            # oracle's slot order — compare with the reordered-summation
+            # backward-error bound (see spmv_matches docstring)
+            assert spmv_matches(res.y_host(), ell.to_csr(), x, rel_tol=1e-5)
+            assert spmv_rel_equal(res.y_host(), expected, rel_tol=1e-3)
 
 
 class TestProperty10DimensionValidation:

@@ -56,6 +56,9 @@ class ELLMatrix:
     _device_cache: "DeviceELL | None" = dataclasses.field(
         default=None, repr=False, compare=False
     )
+    _plan_cache: dict = dataclasses.field(
+        default_factory=dict, repr=False, compare=False
+    )
 
     def __post_init__(self):
         self.values = np.ascontiguousarray(self.values, dtype=np.float32)
@@ -108,6 +111,25 @@ class ELLMatrix:
             ell.values[flat] = csr.values
             ell.col_indices[flat] = csr.col_indices
         return ell
+
+    def to_csr(self) -> CSRMatrix:
+        """ELL → CSR (inverse of :meth:`from_csr`, vectorized).  Used to
+        hand uniform ELL matrices to the packed Pallas kernel; column order
+        within a row follows slot order (ELL stores no ordering guarantee,
+        ``ell_matrix.h:12-28``)."""
+        k, r = self.max_nnz_per_row, self.num_rows
+        if k == 0 or r == 0:
+            return CSRMatrix(r, self.num_cols, np.zeros(0, np.float32),
+                             np.zeros(0, np.int32),
+                             np.zeros(r + 1, np.int32))
+        cols2 = self.col_indices.reshape(k, r).T   # (rows, slots)
+        vals2 = self.values.reshape(k, r).T
+        valid = cols2 >= 0
+        counts = valid.sum(axis=1)
+        row_ptrs = np.zeros(r + 1, np.int32)
+        np.cumsum(counts, out=row_ptrs[1:])
+        return CSRMatrix(r, self.num_cols, vals2[valid],
+                         cols2[valid], row_ptrs)
 
     # ---- conversions / queries ----
     def to_dense(self) -> np.ndarray:

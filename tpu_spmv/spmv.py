@@ -212,9 +212,26 @@ def spmv_ell(A: ELLMatrix | None, x, config: SpMVConfig | None = None,
         result.y = jnp.zeros((0,), jnp.float32)
         return result
 
-    dev = A.to_device()
+    # fast path: pack through the window-ELL Pallas kernel (the TPU-native
+    # ELL formulation); XLA slot-major gather kernel as the fallback for
+    # structures the packed layout rejects or operands too wide for VMEM
+    fn = args = None
+    if A.num_cols <= VMEM_X_MAX_COLS:
+        plan = A._plan_cache.get("plan")
+        if plan is None:
+            try:
+                plan = WindowEllPlan.build(A.to_csr())
+                A._plan_cache["plan"] = plan
+            except WindowEllOverflow:
+                A._plan_cache["plan"] = None
+        if A._plan_cache.get("plan") is not None:
+            plan = A._plan_cache["plan"]
+            fn, args = spmv_window_ell, (plan,)
+    if fn is None:
+        dev = A.to_device()
+        fn, args = (lambda d, v: _ell_entry(d, v)), (dev,)
     try:
-        result.y = _ell_entry(dev, x)[: A.num_rows]
+        result.y = fn(*args, x)[: A.num_rows]
     except Exception:
         result.error_code = int(SpMVError.EXECUTION)
         return result
@@ -222,8 +239,8 @@ def spmv_ell(A: ELLMatrix | None, x, config: SpMVConfig | None = None,
     if measure:
         from .timing import time_jitted
 
-        secs = time_jitted(lambda d, v: _ell_entry(d, v)[: A.num_rows],
-                           dev, x, iters=measure_iters)
+        secs = time_jitted(lambda *a: fn(*a[:-1], a[-1])[: A.num_rows],
+                           *args, x, iters=measure_iters)
         result.elapsed_ms = secs * 1e3
         # actual-nnz GFLOPS accounting like the reference host recount
         # (spmv_kernels.cu:399-405)
