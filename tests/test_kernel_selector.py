@@ -43,7 +43,8 @@ class TestHeuristicBranches:
     """One unit test per branch (test_kernel_selector.cpp:53-118)."""
 
     def test_sparse_rows_pick_scalar(self):
-        csr = _csr_with_row_lengths([1] * 64, 64)
+        # near-empty matrix: plan overhead dominates -> flat scalar path
+        csr = _csr_with_row_lengths([1] + [0] * 63, 64)
         assert csr.compute_stats().avg_nnz_per_row < AVG_NNZ_SCALAR_THRESHOLD
         assert spmv_auto_config(csr).kernel_type == KernelType.SCALAR_CSR
 

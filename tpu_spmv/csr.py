@@ -181,8 +181,8 @@ class CSRMatrix:
         if self.num_rows == 0:
             return CSRStats(0.0, 0, 0, 0.0)
         row_nnz = np.diff(self.row_ptrs)
-        mx = int(row_nnz.max(initial=0))
-        mn = int(row_nnz.min(initial=0))
+        mx = int(row_nnz.max()) if len(row_nnz) else 0
+        mn = int(row_nnz.min()) if len(row_nnz) else 0
         return CSRStats(
             avg_nnz_per_row=self.nnz / self.num_rows,
             max_nnz_per_row=mx,

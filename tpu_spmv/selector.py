@@ -5,15 +5,19 @@ Re-design of ``spmv_auto_config`` (``src/spmv_cpu.cpp:34-50``).  The decision
 vector, high-skew → merge-path, large-x → cached-x knob — but every constant
 is re-derived for TPU lane/sublane geometry instead of warp width 32:
 
-* ``AVG_NNZ_SCALAR_THRESHOLD``: below ~2 nnz/row the window-ELL tiles are
-  mostly padding (each lane-row contributes <2 slots per 8-sublane layer),
-  so the flat scalar path wins.  (Reference value 4, tuned for one-thread-
-  per-row vs warp-per-row crossover, ``spmv_cpu.cpp:41``.)
+* ``AVG_NNZ_SCALAR_THRESHOLD``: measured on TPU v5e, the packed Pallas
+  kernel beats the flat XLA gather+scatter path even at ~1 nnz/row (31x at
+  avg 1.2 — XLA's TPU scatter costs ~9 ns/element), so the scalar branch
+  triggers only for near-empty matrices where plan overhead dominates.
+  (Reference value 4, tuned for one-thread-per-row vs warp-per-row
+  crossover, ``spmv_cpu.cpp:41``.)
 * ``SKEWNESS_VECTOR_THRESHOLD``: skewness = max/(min+1) row length
-  (``csr_matrix.cpp:297``).  One over-long row inflates a whole 128-row
-  block's layer count, so the TPU crossover to the row-splitting merge
-  kernel is at ~16 (reference 10, tuned for warp-imbalance,
-  ``spmv_cpu.cpp:43``).
+  (``csr_matrix.cpp:297``).  Row splitting costs almost nothing on TPU
+  (extras are folded into the kernel) and helps whenever any row is long,
+  so the crossover to merge-path is at skew 4 (reference 10, tuned for
+  warp imbalance, ``spmv_cpu.cpp:43``).  Measured: merge-path ≥ vector on
+  every surveyed class (uniform avg-8: 6 µs vs 60 µs; power-law avg-24:
+  52 µs vs 99 µs).
 * ``use_vmem_x`` (texture analog): the reference enables the texture path
   only for large x (cols > 10000, ``spmv_cpu.cpp:37``); on TPU VMEM
   residency is *always* profitable but only *possible* while the padded x
@@ -29,8 +33,8 @@ from __future__ import annotations
 from .csr import CSRMatrix
 from .spmv import KernelType, SpMVConfig, VMEM_X_MAX_COLS
 
-AVG_NNZ_SCALAR_THRESHOLD = 2.0
-SKEWNESS_VECTOR_THRESHOLD = 16.0
+AVG_NNZ_SCALAR_THRESHOLD = 0.05
+SKEWNESS_VECTOR_THRESHOLD = 4.0
 DEFAULT_BLOCK_SIZE = 256
 
 
