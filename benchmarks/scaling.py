@@ -1,0 +1,78 @@
+"""Multi-chip scaling benchmark — nnz/s efficiency vs device count.
+
+Measures the north-star scaling target (BASELINE.md: ≥70% nnz/s efficiency
+1 → 4 hosts on power-law graphs) by running the row-sharded SpMV over
+1, 2, 4, … device meshes and reporting parallel efficiency.
+
+On real multi-chip hardware this measures ICI-scale behavior; on a single
+chip it degenerates to the 1-device row; forced-CPU runs
+(``python benchmarks/scaling.py --cpu-devices 8``) validate the sharded
+path functionally (CPU timings are not a perf surface).
+
+Usage: python benchmarks/scaling.py [--rows N] [--avg-nnz K] [--cpu-devices N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--rows", type=int, default=262144)
+    p.add_argument("--cols", type=int, default=None)
+    p.add_argument("--avg-nnz", type=float, default=16.0)
+    p.add_argument("--cpu-devices", type=int, default=0,
+                   help="force an N-device virtual CPU mesh (functional)")
+    p.add_argument("--json", action="store_true")
+    args = p.parse_args(argv)
+
+    import jax
+
+    if args.cpu_devices:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.cpu_devices)
+    import numpy as np
+
+    from tpu_spmv.parallel import make_row_mesh, shard_csr, spmv_csr_sharded
+    from tpu_spmv.timing import time_jitted
+    from tpu_spmv.utils.testing import RandomGenerator, spmv_matches
+
+    n_dev = len(jax.devices())
+    cols = args.cols or min(args.rows, 4096)
+    rng = RandomGenerator(42)
+    csr = rng.power_law_csr(args.rows, cols, avg_nnz=args.avg_nnz, alpha=1.6)
+    x = rng.vector(cols)
+    print(f"devices: {n_dev} x {jax.devices()[0].device_kind}; "
+          f"matrix {args.rows}x{cols} nnz={csr.nnz}", file=sys.stderr)
+
+    counts = [d for d in (1, 2, 4, 8, 16, 32) if d <= n_dev]
+    base = None
+    rows_out = []
+    for d in counts:
+        mesh = make_row_mesh(d)
+        sharded = shard_csr(csr, mesh)
+        y = np.asarray(spmv_csr_sharded(sharded, x, mesh))
+        ok = spmv_matches(y, csr, x, rel_tol=1e-5)
+        secs = time_jitted(lambda sh, xv: spmv_csr_sharded(sh, xv, mesh),
+                           sharded, x, iters=20)
+        nnz_s = csr.nnz / secs
+        if base is None:
+            base = nnz_s
+        eff = nnz_s / (base * d)
+        rows_out.append({"devices": d, "gnnz_per_s": nnz_s / 1e9,
+                         "efficiency": eff, "correct": bool(ok)})
+        print(f"  {d:2d} dev: {secs*1e6:9.1f} us  {nnz_s/1e9:7.2f} Gnnz/s  "
+              f"eff {eff:5.2f}  correct={ok}", file=sys.stderr)
+    if args.json:
+        print(json.dumps(rows_out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

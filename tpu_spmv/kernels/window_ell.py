@@ -108,7 +108,7 @@ class WindowEllPlan:
     vals: jax.Array          # f32 (n_groups*8, 128)
     lo: jax.Array            # i8  (n_groups*8, 128)  col % 128 per slot
     sb: jax.Array            # i8  (n_groups*8, 128)  (row/128) % N_TB
-    wg: jax.Array            # i32 (n_groups,)  x-window per group
+    wg: jax.Array            # i32 (n_groups,)  x-window per group (SMEM)
     blk_step: jax.Array      # i32 (n_steps,)   HBM block per step
     sup_step: jax.Array      # i32 (n_steps,)   output superblock per step
     off_step: jax.Array      # i32 (n_steps,)   first live group in block
@@ -153,7 +153,8 @@ class WindowEllPlan:
     @staticmethod
     def build(csr: CSRMatrix, split_rows: int | None = None,
               step_groups: int | None = None, cap_slack: int = 0,
-              cap_margin: float = 0.3, max_inflation: float = 64.0,
+              cap_margin: float = 0.3, spill_rounds: int = 1,
+              max_inflation: float = 64.0,
               device=None) -> "WindowEllPlan":
         """Pack a host CSR matrix into the window-ELL layout (vectorized).
 
@@ -218,20 +219,25 @@ class WindowEllPlan:
         lane, sup, layer = derive(pos, w, c)
 
         # ---- layer cap + spill to extra rows ----
+        # One round caps the row region (measured best for power-law
+        # matrices); extra rounds re-cap the extras region itself, which
+        # can be enabled per matrix via ``spill_rounds``.
         n_extra = n_extra_split
         if nnz:
-            bw = sup * n_windows + w
-            ubw, inv, cnt = np.unique(bw, return_inverse=True,
-                                      return_counts=True)
-            # layer cap per bucket: ideal layers plus a relative margin
-            # (a small additive slack wastes ~slack/ideal when buckets are
-            # shallow; the relative margin keeps waste proportional)
-            cap = np.maximum(
-                -(-(cnt + (cnt * cap_margin).astype(np.int64))
-                  // (CHUNKS * LANE)),
-                -(-cnt // (CHUNKS * LANE))) + cap_slack
-            spilled = layer >= cap[inv]
-            if spilled.any():
+            for _round in range(max(spill_rounds, 1)):
+                bw = sup * n_windows + w
+                ubw, inv, cnt = np.unique(bw, return_inverse=True,
+                                          return_counts=True)
+                # layer cap per bucket: ideal layers plus a relative margin
+                # (additive slack wastes ~slack/ideal when buckets are
+                # shallow; the relative margin keeps waste proportional)
+                cap = np.maximum(
+                    -(-(cnt + (cnt * cap_margin).astype(np.int64))
+                      // (CHUNKS * LANE)),
+                    -(-cnt // (CHUNKS * LANE))) + cap_slack
+                spilled = layer >= cap[inv]
+                if not spilled.any():
+                    break
                 # one extra row per (original row, ≤64-spill run).  Spills
                 # are dealt ROUND-ROBIN across the row's extra rows so each
                 # extra row's nonzeros stay spread over windows/chunks
@@ -247,9 +253,10 @@ class WindowEllPlan:
                 skey = rkey * big + run
                 su, sinv = np.unique(skey, return_inverse=True)
                 pos = pos.copy()
-                pos[spilled] = extras_base + n_extra_split + sinv
+                pos[spilled] = extras_base + n_extra + sinv
                 extra_to_row = np.concatenate([extra_to_row, su // big])
                 n_extra += len(su)
+                lane, sup, layer = derive(pos, w, c)
         vals_src = csr.values
         extras_sup0 = extras_base // SUP
         # scratch rows: each extras superblock publishes a full N_TB-row
@@ -322,6 +329,13 @@ class WindowEllPlan:
             raise WindowEllOverflow(
                 f"window-ELL padding {slots} slots for {nnz} nnz "
                 f"(inflation {slots / nnz:.1f}x > {max_inflation}x)")
+        # the per-group window index is scalar-prefetched into SMEM (~1 MB);
+        # refuse plans whose prefetch would not fit (the flat path handles
+        # such matrices; healthy-occupancy plans stay far below this)
+        if n_groups_real > 180_000:
+            raise WindowEllOverflow(
+                f"window-ELL plan needs {n_groups_real} groups; the "
+                f"per-group window table would exceed SMEM")
 
         # groups are already ordered by (sup, w, layer); nnz → group index
         group_start = np.zeros(len(ubw), np.int64)
