@@ -100,3 +100,37 @@ class TestSymmetry:
         assert pagerank(None).ranks is None
         res = pagerank(csr_from_dense(np.zeros((0, 0), np.float32)))
         assert res.ranks_host().shape == (0,)
+
+
+class TestResume:
+    """Checkpoint/resume — TPU-build extension (SURVEY §5: the reference's
+    PageRank cannot resume)."""
+
+    def test_save_load_resume(self, rng, tmp_path):
+        import numpy as np
+        from tpu_spmv import (PageRankConfig, pagerank, pagerank_load_state,
+                              pagerank_save_state)
+        from tpu_spmv.csr import csr_from_dense
+
+        n = 40
+        adj = (rng.rng.random((n, n)) < 0.2).astype(np.float32)
+        np.fill_diagonal(adj, 0.0)
+        cs = adj.sum(axis=0)
+        nz = cs > 0
+        adj[:, nz] /= cs[nz]
+        csr = csr_from_dense(adj)
+
+        # run 5 iterations, checkpoint, resume — must match a straight run
+        partial = pagerank(csr, PageRankConfig(max_iterations=5,
+                                               tolerance=0.0))
+        path = tmp_path / "state.npz"
+        pagerank_save_state(partial, path)
+        loaded = pagerank_load_state(path)
+        assert loaded.iterations == partial.iterations
+        resumed = pagerank(csr, PageRankConfig(max_iterations=95),
+                           initial_ranks=loaded.ranks)
+        straight = pagerank(csr, PageRankConfig(max_iterations=100))
+        assert resumed.converged and straight.converged
+        np.testing.assert_allclose(resumed.ranks_host(),
+                                   straight.ranks_host(),
+                                   rtol=1e-4, atol=1e-7)

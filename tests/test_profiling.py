@@ -1,0 +1,30 @@
+"""Profiling/observability utilities (SURVEY §5 'Tracing / profiling')."""
+
+import jax.numpy as jnp
+
+from tpu_spmv import profiling
+
+
+def test_cost_analysis_reports_flops():
+    def f(a, b):
+        return a @ b
+
+    costs = profiling.cost_analysis(f, jnp.ones((64, 64)), jnp.ones((64, 64)))
+    assert isinstance(costs, dict)
+    # XLA's cost model always reports flops for a matmul
+    assert costs.get("flops", 0) > 0
+
+
+def test_memory_analysis_reports_sizes():
+    def f(a):
+        return a * 2.0
+
+    mem = profiling.memory_analysis(f, jnp.ones((128,)))
+    assert isinstance(mem, dict)
+
+
+def test_annotate_and_trace_contexts(tmp_path):
+    with profiling.annotate("unit-test-region"):
+        pass
+    with profiling.trace(str(tmp_path / "trace")):
+        jnp.ones((8,)).sum().block_until_ready()

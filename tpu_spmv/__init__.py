@@ -72,10 +72,13 @@ from .benchmark import (
     compare_tpu_cpu_csr,
     comparison_to_json,
 )
+from . import profiling
 from .pagerank import (
     PageRankConfig,
     PageRankResult,
     pagerank,
+    pagerank_load_state,
+    pagerank_save_state,
     pagerank_top_k,
 )
 
@@ -102,4 +105,5 @@ __all__ = [
     "benchmark_csr", "benchmark_ell", "compare_tpu_cpu_csr",
     "benchmark_to_json", "benchmark_from_json", "comparison_to_json",
     "PageRankConfig", "PageRankResult", "pagerank", "pagerank_top_k",
+    "pagerank_save_state", "pagerank_load_state", "profiling",
 ]

@@ -82,11 +82,10 @@ def find_dangling_mask(adj: CSRMatrix) -> np.ndarray:
 
 @functools.partial(jax.jit,
                    static_argnames=("n", "max_iterations", "kernel_fn"))
-def _pagerank_loop(kernel_fn_args, mask, *, n: int, damping: float,
+def _pagerank_loop(kernel_fn_args, mask, r0, *, n: int, damping: float,
                    tolerance: float, max_iterations: int, kernel_fn):
     fn, args = kernel_fn, kernel_fn_args
     inv_n = 1.0 / n
-    r0 = jnp.full((n,), inv_n, jnp.float32)
 
     def cond(state):
         it, _, _, residual = state
@@ -109,9 +108,14 @@ def _pagerank_loop(kernel_fn_args, mask, *, n: int, damping: float,
 
 
 def pagerank(adj_matrix: CSRMatrix | None,
-             config: PageRankConfig | None = None) -> PageRankResult:
+             config: PageRankConfig | None = None,
+             initial_ranks=None) -> PageRankResult:
     """Damped power iteration on a column-normalized adjacency matrix
-    (reference ``pagerank``, ``pagerank.cu:50-153``)."""
+    (reference ``pagerank``, ``pagerank.cu:50-153``).
+
+    ``initial_ranks`` resumes iteration from a saved state (see
+    :func:`pagerank_save_state`) — a capability the reference lacks
+    (SURVEY §5: 'PageRank cannot resume')."""
     result = PageRankResult()
     if adj_matrix is None:
         return result
@@ -130,8 +134,12 @@ def pagerank(adj_matrix: CSRMatrix | None,
             adj_matrix, KernelType.SCALAR_CSR, SpMVConfig())
 
     mask = jnp.asarray(find_dangling_mask(adj_matrix)[:n])
+    if initial_ranks is not None:
+        r0 = jnp.asarray(np.asarray(initial_ranks, np.float32)[:n])
+    else:
+        r0 = jnp.full((n,), 1.0 / n, jnp.float32)
     it, ranks, residual = _pagerank_loop(
-        args, mask, n=n, damping=float(config.damping_factor),
+        args, mask, r0, n=n, damping=float(config.damping_factor),
         tolerance=float(config.tolerance),
         max_iterations=int(config.max_iterations), kernel_fn=fn)
 
@@ -153,3 +161,23 @@ def pagerank_top_k(result: PageRankResult, num_nodes: int,
     vals = np.asarray(vals)
     idx = np.asarray(idx)
     return [TopKNode(int(idx[i]), float(vals[i])) for i in range(actual_k)]
+
+
+def pagerank_save_state(result: PageRankResult, path) -> None:
+    """Persist ranks + iteration count for resumption (no reference
+    counterpart; the closest is matrix serialization, SURVEY §5)."""
+    np.savez(path, ranks=result.ranks_host(),
+             iterations=np.int64(result.iterations),
+             final_residual=np.float64(result.final_residual))
+
+
+def pagerank_load_state(path) -> PageRankResult:
+    """Load a saved state; feed ``.ranks`` into ``pagerank(...,
+    initial_ranks=...)`` to resume."""
+    data = np.load(path)
+    r = PageRankResult()
+    r.ranks = jnp.asarray(data["ranks"])
+    r.iterations = int(data["iterations"])
+    r.final_residual = float(data["final_residual"])
+    r.converged = False
+    return r
