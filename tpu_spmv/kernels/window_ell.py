@@ -70,7 +70,7 @@ WINDOW = 1024         # columns per window (CHUNKS * LANE)
 ROWS_PER_BLOCK = 128  # lanes
 SUP = 2048            # rows per output superblock
 N_TB = SUP // ROWS_PER_BLOCK  # scatter targets per superblock
-T_SUB = 8             # groups per compute sub-tile (skip granularity)
+T_SUB = 16            # groups per compute sub-tile (skip granularity)
 SPILL_RUN = 64        # max spilled nnz absorbed per extra row
 
 
