@@ -77,3 +77,32 @@ class TestShardedPageRankStep:
             sharded, r, mask, damping=0.85, mesh=mesh))
         expected = 0.85 * (dense @ r) + 0.85 * float(mask @ r) / n + 0.15 / n
         assert spmv_rel_equal(out, expected.astype(np.float32), rel_tol=1e-5)
+
+
+class TestDistributedPageRank:
+    """Full on-device distributed power iteration (new component)."""
+
+    def test_matches_single_device_pagerank(self, rng, n_devices):
+        import numpy as np
+        from tpu_spmv import PageRankConfig, pagerank
+        from tpu_spmv.csr import csr_from_dense
+        from tpu_spmv.pagerank import find_dangling_mask
+        from tpu_spmv.parallel import (make_row_mesh, pagerank_sharded,
+                                       shard_csr)
+
+        n = 96
+        adj = (rng.rng.random((n, n)) < 0.15).astype(np.float32)
+        np.fill_diagonal(adj, 0.0)
+        cs = adj.sum(axis=0)
+        nz = cs > 0
+        adj[:, nz] /= cs[nz]
+        csr = csr_from_dense(adj)
+
+        mesh = make_row_mesh(min(4, n_devices))
+        sharded = shard_csr(csr, mesh)
+        mask = find_dangling_mask(csr)
+        dist = pagerank_sharded(sharded, mask, PageRankConfig(), mesh)
+        single = pagerank(csr, PageRankConfig())
+        assert dist.converged
+        np.testing.assert_allclose(dist.ranks_host(), single.ranks_host(),
+                                   rtol=1e-4, atol=1e-7)

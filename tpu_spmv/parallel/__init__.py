@@ -1,6 +1,7 @@
 from .distributed import (
     ShardedCSR,
     make_row_mesh,
+    pagerank_sharded,
     pagerank_step_sharded,
     shard_csr,
     spmv_csr_sharded,
@@ -11,5 +12,6 @@ __all__ = [
     "make_row_mesh",
     "shard_csr",
     "spmv_csr_sharded",
+    "pagerank_sharded",
     "pagerank_step_sharded",
 ]

@@ -35,7 +35,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:  # jax >= 0.8 promotes shard_map out of experimental
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from ..csr import CSRMatrix, _bucket
 from ..errors import InvalidArgumentError
@@ -157,6 +161,67 @@ def spmv_csr_sharded(sharded: ShardedCSR, x, mesh: Mesh | None = None,
     fn = _sharded_spmv_fn(mesh, axis_name, sharded.rows_per_shard)
     y = fn(sharded.values, sharded.col_indices, sharded.row_ids, x)
     return y[: sharded.num_rows]
+
+
+def pagerank_sharded(sharded: ShardedCSR, dangling_mask,
+                     config=None, mesh: Mesh | None = None,
+                     axis_name: str = "rows"):
+    """Fully distributed PageRank: the on-device ``lax.while_loop`` power
+    iteration (C15) over the row-sharded SpMV — every iteration's
+    all-gather of the row-sharded ``Ar`` back to replicated ranks rides
+    ICI; only the final ranks/iteration scalars leave the devices.
+
+    ``dangling_mask`` comes from :func:`tpu_spmv.pagerank.find_dangling_mask`
+    on the unpartitioned matrix (a one-time host pass, as in the reference
+    ``pagerank.cu:20-48``).
+    """
+    from ..pagerank import PageRankConfig, PageRankResult
+
+    cfg = config or PageRankConfig()
+    if mesh is None:
+        mesh = sharded.values.sharding.mesh
+    n = sharded.num_rows
+    result = PageRankResult()
+    if n == 0:
+        result.ranks = jnp.zeros((0,), jnp.float32)
+        return result
+    local = _sharded_spmv_fn(mesh, axis_name, sharded.rows_per_shard)
+    mask = jnp.asarray(np.asarray(dangling_mask, np.float32)[:n])
+    damping = float(cfg.damping_factor)
+    tol = float(cfg.tolerance)
+    max_it = int(cfg.max_iterations)
+    inv_n = 1.0 / n
+
+    @functools.partial(jax.jit, static_argnames=())
+    def run(values, cols, rids, mask):
+        r0 = jnp.full((n,), inv_n, jnp.float32)
+
+        def cond(state):
+            it, _, residual = state
+            return jnp.logical_and(it < max_it, residual >= tol)
+
+        def body(state):
+            it, r_old, _ = state
+            Ar = local(values, cols, rids, r_old)[:n]
+            dangling_sum = jnp.dot(mask, r_old)
+            r_new = damping * Ar + damping * dangling_sum * inv_n \
+                + (1.0 - damping) * inv_n
+            residual = jnp.sqrt(jnp.sum((r_new - r_old) ** 2))
+            return (it + 1, r_new, residual)
+
+        it, ranks, residual = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), r0, jnp.float32(jnp.inf)))
+        total = jnp.sum(ranks)
+        ranks = jnp.where(total > 0.0, ranks / total, ranks)
+        return it, ranks, residual
+
+    it, ranks, residual = run(sharded.values, sharded.col_indices,
+                              sharded.row_ids, mask)
+    result.ranks = ranks
+    result.iterations = int(it)
+    result.final_residual = float(residual)
+    result.converged = result.final_residual < tol
+    return result
 
 
 def pagerank_step_sharded(sharded: ShardedCSR, ranks: jax.Array,
