@@ -66,7 +66,7 @@ def main() -> int:
     log(f"correctness vs CPU oracle: {'OK' if ok else 'FAIL'}")
 
     # ---- timings ----
-    secs = time_jitted(spmv_window_ell, plan, x, iters=30)
+    secs = time_jitted(spmv_window_ell, plan, x, iters=300)
     model_bytes = csr.nnz * 8 + (rows + 1) * 4 + cols * 4 + rows * 4
     spmv_gbs = model_bytes / secs / 1e9
     gflops = 2.0 * csr.nnz / secs / 1e9
@@ -80,6 +80,41 @@ def main() -> int:
     log(f"scalar spmv:     {secs_scalar*1e3:.3f} ms "
         f"({model_bytes/secs_scalar/1e9:.2f} GB/s) -> "
         f"merge-path speedup {secs_scalar/secs:.1f}x")
+
+    # secondary metric: 5-pt stencil via the ELL path (BASELINE config #2)
+    ell_gbs = 0.0
+    try:
+        from tpu_spmv.ell import ELLMatrix
+        from tpu_spmv.csr import CSRMatrix
+        from tpu_spmv.spmv import spmv_ell
+
+        g = 512
+        N = g * g
+        ii = np.arange(N)
+        rl, cl, vl = [], [], []
+        for (dr, dc, v) in [(0, 0, 4.0), (-1, 0, -1.0), (1, 0, -1.0),
+                            (0, -1, -1.0), (0, 1, -1.0)]:
+            r, c = ii // g, ii % g
+            rr2, cc2 = r + dr, c + dc
+            m = (rr2 >= 0) & (rr2 < g) & (cc2 >= 0) & (cc2 < g)
+            rl.append(ii[m])
+            cl.append((rr2 * g + cc2)[m])
+            vl.append(np.full(int(m.sum()), v, np.float32))
+        ra = np.concatenate(rl)
+        ca = np.concatenate(cl)
+        va = np.concatenate(vl)
+        o = np.lexsort((ca, ra))
+        rp = np.zeros(N + 1, np.int32)
+        np.cumsum(np.bincount(ra, minlength=N), out=rp[1:])
+        stencil = CSRMatrix(N, N, va[o], ca[o].astype(np.int32), rp)
+        ell = ELLMatrix.from_csr(stencil)
+        xe = jnp.asarray(rng.vector(N))
+        r_ell = spmv_ell(ell, xe, measure=True, measure_iters=300)
+        ell_gbs = r_ell.bandwidth_gb_s
+        log(f"ELL 5-pt stencil: {r_ell.elapsed_ms*1e3:.1f} us -> "
+            f"{ell_gbs:.1f} GB/s (ELL byte model)")
+    except Exception as e:  # secondary metric must never sink the bench
+        log(f"ELL stencil metric skipped: {e}")
 
     stream_gbs = measured_stream_bandwidth(dev)
     log(f"measured STREAM: {stream_gbs:.2f} GB/s")
@@ -102,6 +137,7 @@ def main() -> int:
             "nnz": csr.nnz,
             "skewness": round(stats.skewness, 1),
             "occupancy": round(plan.occupancy, 4),
+            "ell_stencil_gb_s": round(ell_gbs, 3),
             "correct": bool(ok),
         },
     }))
