@@ -43,7 +43,8 @@ def main() -> int:
     # ---- benchmark matrix: power-law row lengths (skew >= 10), columns
     # within 4 windows so the VMEM-resident x table serves every gather ----
     rng = RandomGenerator(42)
-    rows, cols, avg = 65536, 4096, 24.0
+    # reference capacity scale (requirements.md:32: up to 10M nnz)
+    rows, cols, avg = 262144, 4096, 40.0
     csr = rng.power_law_csr(rows, cols, avg_nnz=avg, alpha=1.6)
     stats = csr.compute_stats()
     log(f"matrix: {rows}x{cols} nnz={csr.nnz} avg={stats.avg_nnz_per_row:.1f} "
@@ -76,7 +77,7 @@ def main() -> int:
 
     # scalar path for comparison
     fn, args = _resolve_csr_kernel(csr, KernelType.SCALAR_CSR, SpMVConfig())
-    secs_scalar = time_jitted(lambda d, v: fn(d, v), *args, x, iters=5)
+    secs_scalar = time_jitted(lambda d, v: fn(d, v), *args, x, iters=3)
     log(f"scalar spmv:     {secs_scalar*1e3:.3f} ms "
         f"({model_bytes/secs_scalar/1e9:.2f} GB/s) -> "
         f"merge-path speedup {secs_scalar/secs:.1f}x")
