@@ -85,12 +85,29 @@ def _pad_pow2(n: int, minimum: int = 1) -> int:
     return 1 << (n - 1).bit_length()
 
 
+def _pad_geo(n: int, minimum: int = 8) -> int:
+    """Round up to a x1.5 geometric bucket (bounds compiled-variant count
+    like pow2 buckets but wastes <=33% instead of <=50% — and each wasted
+    step costs ~400 ns of grid machinery)."""
+    v = max(minimum, 8)
+    while v < n:
+        v = -(-v * 3 // 2)
+    return v
+
+
 def _cumcount(keys: np.ndarray) -> np.ndarray:
     """Occurrence index of each element within its key group (native hash
     pass when the C++ library is built; NumPy sort fallback otherwise)."""
     from ..native import cumcount
 
     return cumcount(keys)
+
+
+def _unique_ic(keys: np.ndarray):
+    """unique + inverse + counts (one native hash pass when available)."""
+    from ..native import unique_inverse_counts
+
+    return unique_inverse_counts(keys)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -209,11 +226,11 @@ class WindowEllPlan:
         # span ceil((cols_pad + extras)/WINDOW)
         def derive(pos, w, c):
             """Per-nnz lane / superblock / stacking layer within its cell
-            (cell = (superblock, window, chunk, lane))."""
-            lane = pos % LANE
-            sup = pos // SUP
-            cell = ((sup * n_tab_windows + w) * CHUNKS + c) * LANE + lane
-            return lane, sup, _cumcount(cell)
+            (cell = (superblock, window, chunk, lane)) — fused native pass
+            when the C++ library is built."""
+            from ..native import plan_derive
+
+            return plan_derive(pos, w, c, n_tab_windows, SUP)
 
         n_tab_windows = n_windows  # widened after extras are known
         lane, sup, layer = derive(pos, w, c)
@@ -226,8 +243,7 @@ class WindowEllPlan:
         if nnz:
             for _round in range(max(spill_rounds, 1)):
                 bw = sup * n_windows + w
-                ubw, inv, cnt = np.unique(bw, return_inverse=True,
-                                          return_counts=True)
+                ubw, inv, cnt = _unique_ic(bw)
                 # layer cap per bucket: ideal layers plus a relative margin
                 # (additive slack wastes ~slack/ideal when buckets are
                 # shallow; the relative margin keeps waste proportional)
@@ -295,7 +311,7 @@ class WindowEllPlan:
             c = (cols64 // LANE) % CHUNKS
             lane, sup, layer = derive(pos, w, c)
             bw = sup * n_tab_windows + w
-            ubw, inv = np.unique(bw, return_inverse=True)
+            ubw, inv, _ = _unique_ic(bw)
         else:
             ubw = np.zeros(0, np.int64)
             inv = np.zeros(0, np.int64)
@@ -381,7 +397,7 @@ class WindowEllPlan:
                 prev_blk = bidx
             eoff_l[-1] = fin  # finalize scratch on the sup's last step
         n_steps = len(blk_l)
-        n_steps_pad = _pad_pow2(n_steps)
+        n_steps_pad = _pad_geo(n_steps)
         # pad steps repeat the last real step with cnt=0: same sup (no
         # re-zeroing of live output), same block (no DMA), no finalize
         blk_l += [blk_l[-1]] * (n_steps_pad - n_steps)
@@ -398,11 +414,12 @@ class WindowEllPlan:
         if len(g_w):
             wg_arr[: n_groups_real] = g_w
         if n_all:
+            from ..native import fill_slots
+
             group_of_nnz = group_start[inv] + layer
             flat = group_of_nnz * (CHUNKS * LANE) + c * LANE + lane
-            vals.reshape(-1)[flat] = vals_src
-            lo.reshape(-1)[flat] = (cols64 % LANE).astype(np.int8)
-            sb.reshape(-1)[flat] = ((pos // LANE) % N_TB).astype(np.int8)
+            fill_slots(flat, vals_src, cols64 % LANE, (pos // LANE) % N_TB,
+                       vals, lo, sb)
 
         put = (lambda a: jax.device_put(a, device)) if device is not None \
             else jax.device_put
@@ -467,6 +484,7 @@ def _build_pallas(n_steps: int, S: int, n_sup: int, cols8: int, e8: int,
             qs = pl.multiple_of(q * T * 8, T * 8)
             lo_q = lo_ref[pl.ds(qs, T * 8), :].astype(jnp.int32)
             v_q = v_ref[pl.ds(qs, T * 8), :]
+            # int32 for the target compares: v5e rejects i8 vector compares
             sb_q = sb_ref[pl.ds(qs, T * 8), :].astype(jnp.int32)
             prods = []
             for t in range(T):
@@ -488,7 +506,9 @@ def _build_pallas(n_steps: int, S: int, n_sup: int, cols8: int, e8: int,
             o_ref[:] = o_ref[:] + jnp.concatenate(rows_acc, axis=0)
             return carry
 
-        jax.lax.fori_loop(off_i // T, (end_i + T - 1) // T, body, 0)
+        @pl.when(cnt_ref[i] > 0)
+        def _():
+            jax.lax.fori_loop(off_i // T, (end_i + T - 1) // T, body, 0)
 
         # extras superblock finished: publish its totals into the scratch
         # so later row-sup combine nonzeros can gather them like x

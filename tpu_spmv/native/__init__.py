@@ -23,6 +23,21 @@ if os.path.exists(_LIB_PATH) and not os.environ.get("TPU_SPMV_NO_NATIVE"):
         _lib.cumcount_i64.argtypes = [
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64)]
+        _lib.plan_derive_i64.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
+        _lib.unique_inverse_counts_i64.restype = ctypes.c_int64
+        _lib.unique_inverse_counts_i64.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64)]
+        _lib.fill_slots_f32.argtypes = [
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int8)]
         _lib.spmv_cpu_csr_f32.argtypes = [
             ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
@@ -176,3 +191,67 @@ def _mtx_read_py(path: str):
                 vals.append(v)
         return nr, nc, np.asarray(rows, np.int32), \
             np.asarray(cols, np.int32), np.asarray(vals, np.float32)
+
+
+def plan_derive(pos: np.ndarray, w: np.ndarray, c: np.ndarray,
+                n_windows: int, sup_rows: int):
+    """Fused lane/superblock decode + per-cell layer cumcount.
+
+    Returns (lane, sup, layer) int64 arrays; NumPy fallback when the
+    native library is absent.
+    """
+    pos = np.ascontiguousarray(pos, np.int64)
+    w = np.ascontiguousarray(w, np.int64)
+    c = np.ascontiguousarray(c, np.int64)
+    n = len(pos)
+    if _lib is not None and n:
+        lane = np.empty(n, np.int64)
+        sup = np.empty(n, np.int64)
+        layer = np.empty(n, np.int64)
+        _lib.plan_derive_i64(_p(pos, ctypes.c_int64), _p(w, ctypes.c_int64),
+                             _p(c, ctypes.c_int64), n, n_windows, sup_rows,
+                             _p(lane, ctypes.c_int64),
+                             _p(sup, ctypes.c_int64),
+                             _p(layer, ctypes.c_int64))
+        return lane, sup, layer
+    lane = pos % 128
+    sup = pos // sup_rows
+    cell = ((sup * n_windows + w) * 8 + c) * 128 + lane
+    return lane, sup, cumcount(cell)
+
+
+def unique_inverse_counts(keys: np.ndarray):
+    """np.unique(keys, return_inverse=True, return_counts=True) via one
+    hash pass (native) or NumPy."""
+    keys = np.ascontiguousarray(keys, np.int64)
+    n = len(keys)
+    if _lib is not None and n:
+        uniq = np.empty(n, np.int64)
+        inv = np.empty(n, np.int64)
+        counts = np.empty(n, np.int64)
+        m = _lib.unique_inverse_counts_i64(
+            _p(keys, ctypes.c_int64), n, _p(uniq, ctypes.c_int64),
+            _p(inv, ctypes.c_int64), _p(counts, ctypes.c_int64))
+        return uniq[:m].copy(), inv, counts[:m].copy()
+    return np.unique(keys, return_inverse=True, return_counts=True)
+
+
+def fill_slots(flat: np.ndarray, values: np.ndarray, cols_mod: np.ndarray,
+               sbv: np.ndarray, vals_out: np.ndarray, lo_out: np.ndarray,
+               sb_out: np.ndarray) -> None:
+    """Scatter per-nnz (value, lane-index, sub-block) into the packed slot
+    arrays in one pass."""
+    n = len(flat)
+    if _lib is not None and n:
+        _lib.fill_slots_f32(
+            n, _p(np.ascontiguousarray(flat, np.int64), ctypes.c_int64),
+            _p(np.ascontiguousarray(values, np.float32), ctypes.c_float),
+            _p(np.ascontiguousarray(cols_mod, np.int64), ctypes.c_int64),
+            _p(np.ascontiguousarray(sbv, np.int64), ctypes.c_int64),
+            _p(vals_out.reshape(-1), ctypes.c_float),
+            _p(lo_out.reshape(-1), ctypes.c_int8),
+            _p(sb_out.reshape(-1), ctypes.c_int8))
+        return
+    vals_out.reshape(-1)[flat] = values
+    lo_out.reshape(-1)[flat] = cols_mod.astype(np.int8)
+    sb_out.reshape(-1)[flat] = sbv.astype(np.int8)
