@@ -95,3 +95,28 @@ class TestPlanStructure:
         plan = WindowEllPlan.build(csr)
         y = np.asarray(spmv_window_ell(plan, np.ones(4, np.float32)))
         np.testing.assert_array_equal(y, np.zeros(4, np.float32))
+
+
+class TestCapacityGuards:
+    def test_wide_matrix_falls_back_to_scalar(self, rng):
+        """Wide column-skewed structures that would exceed the SMEM window
+        table must raise WindowEllOverflow from the planner and still give
+        correct results through spmv_csr's scalar fallback."""
+        import numpy as np
+        from tpu_spmv import KernelType, SpMVConfig, spmv_csr
+        from tpu_spmv.csr import CSRMatrix
+
+        rows = 2048
+        cols = 1 << 22  # wider than VMEM_X_MAX_COLS
+        nnz_per_row = 4
+        rng2 = rng.rng
+        cols_arr = rng2.integers(0, cols, rows * nnz_per_row).astype(np.int32)
+        row_ptrs = (np.arange(rows + 1) * nnz_per_row).astype(np.int32)
+        vals = rng2.uniform(0.5, 1.0, rows * nnz_per_row).astype(np.float32)
+        csr = CSRMatrix(rows, cols, vals, cols_arr, row_ptrs)
+        x = np.ones(cols, np.float32)
+        res = spmv_csr(csr, x, SpMVConfig(kernel_type=KernelType.MERGE_PATH))
+        assert res.error_code == 0
+        # every row sums its 4 values (x == 1)
+        expected = vals.reshape(rows, nnz_per_row).sum(axis=1)
+        np.testing.assert_allclose(res.y_host(), expected, rtol=1e-5)
