@@ -39,7 +39,10 @@ def main(argv=None):
         jax.config.update("jax_num_cpu_devices", args.cpu_devices)
     import numpy as np
 
-    from tpu_spmv.parallel import make_row_mesh, shard_csr, spmv_csr_sharded
+    from tpu_spmv.kernels.window_ell import WindowEllOverflow
+    from tpu_spmv.parallel import (make_row_mesh, shard_csr,
+                                   shard_csr_packed, spmv_csr_sharded,
+                                   spmv_csr_sharded_packed)
     from tpu_spmv.timing import time_jitted
     from tpu_spmv.utils.testing import RandomGenerator, spmv_matches
 
@@ -56,11 +59,16 @@ def main(argv=None):
     rows_out = []
     for d in counts:
         mesh = make_row_mesh(d)
-        sharded = shard_csr(csr, mesh)
-        y = np.asarray(spmv_csr_sharded(sharded, x, mesh))
+        try:
+            sharded = shard_csr_packed(csr, mesh)
+            run = spmv_csr_sharded_packed
+        except WindowEllOverflow:
+            sharded = shard_csr(csr, mesh)
+            run = spmv_csr_sharded
+        y = np.asarray(run(sharded, x, mesh))
         ok = spmv_matches(y, csr, x, rel_tol=1e-5)
-        secs = time_jitted(lambda sh, xv: spmv_csr_sharded(sh, xv, mesh),
-                           sharded, x, iters=20)
+        secs = time_jitted(lambda sh, xv: run(sh, xv, mesh),
+                           sharded, x, iters=100)
         nnz_s = csr.nnz / secs
         if base is None:
             base = nnz_s

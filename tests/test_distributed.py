@@ -106,3 +106,44 @@ class TestDistributedPageRank:
         assert dist.converged
         np.testing.assert_allclose(dist.ranks_host(), single.ranks_host(),
                                    rtol=1e-4, atol=1e-7)
+
+
+class TestPackedSharding:
+    """Row-sharded SpMV running the packed Pallas kernel per shard."""
+
+    def test_packed_matches_oracle(self, rng, n_devices):
+        import numpy as np
+        from tpu_spmv.parallel import (make_row_mesh, shard_csr_packed,
+                                       spmv_csr_sharded_packed)
+        from tpu_spmv.utils.testing import spmv_matches
+
+        csr = rng.power_law_csr(2048, 1500, avg_nnz=9, alpha=1.6)
+        mesh = make_row_mesh(min(4, n_devices))
+        sp = shard_csr_packed(csr, mesh)
+        x = rng.vector(1500)
+        y = np.asarray(spmv_csr_sharded_packed(sp, x, mesh))
+        assert spmv_matches(y, csr, x, rel_tol=1e-5)
+
+    def test_pagerank_sharded_packed(self, rng, n_devices):
+        import numpy as np
+        from tpu_spmv import PageRankConfig, pagerank
+        from tpu_spmv.csr import csr_from_dense
+        from tpu_spmv.pagerank import find_dangling_mask
+        from tpu_spmv.parallel import (make_row_mesh, pagerank_sharded,
+                                       shard_csr_packed)
+
+        n = 96
+        adj = (rng.rng.random((n, n)) < 0.15).astype(np.float32)
+        np.fill_diagonal(adj, 0.0)
+        cs = adj.sum(axis=0)
+        nz = cs > 0
+        adj[:, nz] /= cs[nz]
+        csr = csr_from_dense(adj)
+        mesh = make_row_mesh(min(4, n_devices))
+        sp = shard_csr_packed(csr, mesh)
+        mask = find_dangling_mask(csr)
+        dist = pagerank_sharded(sp, mask, PageRankConfig(), mesh)
+        single = pagerank(csr, PageRankConfig())
+        assert dist.converged
+        np.testing.assert_allclose(dist.ranks_host(), single.ranks_host(),
+                                   rtol=1e-4, atol=1e-7)

@@ -16,10 +16,13 @@ insert collectives):
 * the operand ``x`` is **replicated** (power-law column footprints make row
   shards read nearly all of x, so replication beats halo exchange at this
   scale; halo compression is the planned optimization);
-* each device runs the local flat SpMV (gather + sorted segment-sum) on its
-  row block — zero cross-device traffic in the SpMV itself; the only
-  collectives are the all-gather XLA inserts when a replicated consumer
-  (e.g. the PageRank update) reads the row-sharded ``y``, riding ICI.
+* each device runs the **full packed Pallas kernel** on its row block
+  (:func:`shard_csr_packed` / :func:`spmv_csr_sharded_packed`; the flat
+  gather+segment-sum pair :func:`shard_csr` / :func:`spmv_csr_sharded`
+  remains as the fallback for structures the packed layout rejects) —
+  zero cross-device traffic in the SpMV itself; the only collectives are
+  the all-gather XLA inserts when a replicated consumer (e.g. the PageRank
+  update) reads the row-sharded ``y``, riding ICI.
 
 Correctness oracle: the same CPU reference (``spmv_cpu.cpp:6-16``) on the
 unpartitioned matrix, at the reference property-test tolerances.
@@ -163,7 +166,7 @@ def spmv_csr_sharded(sharded: ShardedCSR, x, mesh: Mesh | None = None,
     return y[: sharded.num_rows]
 
 
-def pagerank_sharded(sharded: ShardedCSR, dangling_mask,
+def pagerank_sharded(sharded, dangling_mask,
                      config=None, mesh: Mesh | None = None,
                      axis_name: str = "rows"):
     """Fully distributed PageRank: the on-device ``lax.while_loop`` power
@@ -178,22 +181,32 @@ def pagerank_sharded(sharded: ShardedCSR, dangling_mask,
     from ..pagerank import PageRankConfig, PageRankResult
 
     cfg = config or PageRankConfig()
+    packed = isinstance(sharded, ShardedWindowEll)
     if mesh is None:
-        mesh = sharded.values.sharding.mesh
+        arr = sharded.leaves[0] if packed else sharded.values
+        mesh = arr.sharding.mesh
     n = sharded.num_rows
     result = PageRankResult()
     if n == 0:
         result.ranks = jnp.zeros((0,), jnp.float32)
         return result
-    local = _sharded_spmv_fn(mesh, axis_name, sharded.rows_per_shard)
+    if packed:
+        packed_fn = _sharded_packed_fn(mesh, axis_name, sharded.plan_aux)
+        spmv_args = sharded.leaves
+
+        def local(*unused):
+            raise AssertionError
+    else:
+        local = _sharded_spmv_fn(mesh, axis_name, sharded.rows_per_shard)
+        spmv_args = (sharded.values, sharded.col_indices, sharded.row_ids)
     mask = jnp.asarray(np.asarray(dangling_mask, np.float32)[:n])
     damping = float(cfg.damping_factor)
     tol = float(cfg.tolerance)
     max_it = int(cfg.max_iterations)
     inv_n = 1.0 / n
 
-    @functools.partial(jax.jit, static_argnames=())
-    def run(values, cols, rids, mask):
+    @jax.jit
+    def run(mask, *args):
         r0 = jnp.full((n,), inv_n, jnp.float32)
 
         def cond(state):
@@ -202,7 +215,10 @@ def pagerank_sharded(sharded: ShardedCSR, dangling_mask,
 
         def body(state):
             it, r_old, _ = state
-            Ar = local(values, cols, rids, r_old)[:n]
+            if packed:
+                Ar = packed_fn(r_old, *args)[:n]
+            else:
+                Ar = local(*args, r_old)[:n]
             dangling_sum = jnp.dot(mask, r_old)
             r_new = damping * Ar + damping * dangling_sum * inv_n \
                 + (1.0 - damping) * inv_n
@@ -215,8 +231,7 @@ def pagerank_sharded(sharded: ShardedCSR, dangling_mask,
         ranks = jnp.where(total > 0.0, ranks / total, ranks)
         return it, ranks, residual
 
-    it, ranks, residual = run(sharded.values, sharded.col_indices,
-                              sharded.row_ids, mask)
+    it, ranks, residual = run(mask, *spmv_args)
     result.ranks = ranks
     result.iterations = int(it)
     result.final_residual = float(residual)
@@ -236,3 +251,153 @@ def pagerank_step_sharded(sharded: ShardedCSR, ranks: jax.Array,
     Ar = spmv_csr_sharded(sharded, ranks, mesh, axis_name)
     dangling_sum = jnp.dot(dangling_mask[:n], ranks[:n])
     return damping * Ar + damping * dangling_sum / n + (1.0 - damping) / n
+
+
+# ---- packed-kernel sharding: the Pallas window-ELL kernel per shard ----
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class ShardedWindowEll:
+    """Row-partitioned window-ELL plans, stacked and device-sharded.
+
+    Each shard owns a contiguous row block packed by the same
+    :class:`~tpu_spmv.kernels.window_ell.WindowEllPlan` builder used on a
+    single chip; per-shard plan arrays are padded to common shapes (steps
+    padded with no-op repeats, groups with zero slots) so the stacked
+    ``(n_shards, ...)`` arrays shard exactly one plan per device, and the
+    local compute inside ``shard_map`` is the full Pallas kernel — not a
+    degraded flat path.
+    """
+
+    leaves: tuple            # stacked per-shard plan leaves
+    plan_aux: tuple          # common WindowEllPlan aux data
+    num_rows: int
+    num_cols: int
+    nnz: int
+    rows_per_shard: int
+
+    def tree_flatten(self):
+        return self.leaves, (self.plan_aux, self.num_rows, self.num_cols,
+                             self.nnz, self.rows_per_shard)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(tuple(leaves), *aux)
+
+    @property
+    def n_shards(self) -> int:
+        return int(self.leaves[0].shape[0])
+
+
+def shard_csr_packed(A: CSRMatrix, mesh: Mesh, axis_name: str = "rows",
+                     split_rows: int | None = 128) -> ShardedWindowEll:
+    """Partition rows over ``mesh`` and pack each block with the window-ELL
+    planner.  Raises :class:`WindowEllOverflow` (propagated) if any shard's
+    structure rejects the packed layout — callers fall back to
+    :func:`shard_csr` + the flat path."""
+    from ..kernels.window_ell import WindowEllPlan
+
+    n_shards = int(mesh.shape[axis_name])
+    rows = A.num_rows
+    rps = max(-(-max(rows, 1) // n_shards), 1)
+    bounds = np.minimum(np.arange(n_shards + 1) * rps, rows)
+    ptr = A.row_ptrs
+    plans = []
+    for d in range(n_shards):
+        r0, r1 = int(bounds[d]), int(bounds[d + 1])
+        lo, hi = int(ptr[r0]), int(ptr[r1])
+        local_ptr = np.zeros(rps + 1, np.int32)
+        local_ptr[: r1 - r0 + 1] = ptr[r0:r1 + 1] - ptr[r0]
+        local_ptr[r1 - r0 + 1:] = local_ptr[r1 - r0]
+        sub = CSRMatrix(rps, A.num_cols, A.values[lo:hi],
+                        A.col_indices[lo:hi], local_ptr)
+        plans.append(WindowEllPlan.build(sub, split_rows=split_rows))
+
+    # pad all plans to common leaf shapes (no-op semantics):
+    #   step arrays -> repeat the last real step with cnt=0
+    #   slot arrays -> zero slots;  wg -> zeros;  extra_to_row -> clamp pad
+    flats = [jax.tree_util.tree_flatten(p) for p in plans]
+    leaves_list = [f[0] for f in flats]
+    # unify aux: n_sup / e8 / n_extra differ per shard -> take maxima and
+    # rebuild each plan at the common sizes by padding its leaves
+    import tpu_spmv.kernels.window_ell as we
+
+    n_sup = max(p.n_sup for p in plans)
+    e8 = max(p.e8 for p in plans)
+    n_steps = max(p.n_steps for p in plans)
+    n_grows = max(int(p.vals.shape[0]) for p in plans)
+    n_wg = max(int(p.wg.shape[0]) for p in plans)
+    n_extra = max(p.n_extra for p in plans)
+
+    def pad_plan(p):
+        def pad2(a, n):  # zero-pad rows of (G8, 128) arrays
+            a = np.asarray(a)
+            return np.pad(a, ((0, n - a.shape[0]), (0, 0)))
+
+        def pad_steps(a, fill):
+            a = np.asarray(a)
+            if len(a) == n_steps:
+                return a
+            return np.concatenate(
+                [a, np.full(n_steps - len(a), fill, a.dtype)])
+
+        vals = pad2(p.vals, n_grows)
+        lo = pad2(p.lo, n_grows)
+        sb = pad2(p.sb, n_grows)
+        wg = np.pad(np.asarray(p.wg), (0, n_wg - p.wg.shape[0]))
+        blk = pad_steps(p.blk_step, int(np.asarray(p.blk_step)[-1]))
+        sup = pad_steps(p.sup_step, int(np.asarray(p.sup_step)[-1]))
+        off = pad_steps(p.off_step, 0)
+        cnt = pad_steps(p.cnt_step, 0)
+        eoff = pad_steps(p.eoff_step, -1)
+        e2r = np.zeros(max(n_extra, 1), np.int32)
+        e2r[: p.n_extra] = np.asarray(p.extra_to_row)
+        return (vals, lo, sb, wg, blk, sup, off, cnt, eoff, e2r)
+
+    stacked = [np.stack(arrs) for arrs in zip(*(pad_plan(p) for p in plans))]
+    p0 = plans[0]
+    plan_aux = (rps, A.num_cols, p0.extras_base, n_extra, n_sup, e8,
+                p0.cols_pad, p0.step_groups, p0.split_rows, 0.0)
+    leaves = tuple(
+        jax.device_put(jnp.asarray(a),
+                       NamedSharding(mesh, P(axis_name,
+                                             *([None] * (a.ndim - 1)))))
+        for a in stacked)
+    return ShardedWindowEll(leaves=leaves, plan_aux=plan_aux,
+                            num_rows=rows, num_cols=A.num_cols, nnz=A.nnz,
+                            rows_per_shard=rps)
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_packed_fn(mesh: Mesh, axis_name: str, plan_aux: tuple):
+    from ..kernels.window_ell import WindowEllPlan, spmv_window_ell
+
+    def local(x, *leaves):
+        plan = WindowEllPlan.tree_unflatten(
+            plan_aux, tuple(a[0] for a in leaves))
+        return spmv_window_ell(plan, x)
+
+    n_leaves = 10  # WindowEllPlan has 10 array leaves
+    mapped = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(),) + tuple(P(axis_name) for _ in range(n_leaves)),
+        out_specs=P(axis_name),
+        # pallas_call inside shard_map cannot declare how its out varies
+        # across mesh axes; disable the varying-mesh-axes check
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def spmv_csr_sharded_packed(sp: ShardedWindowEll, x,
+                            mesh: Mesh | None = None,
+                            axis_name: str = "rows") -> jax.Array:
+    """``y = A @ x`` with each row shard running the packed Pallas kernel;
+    ``x`` replicated.  Returns the row-sharded ``(num_rows,)`` result."""
+    x = jnp.asarray(x, jnp.float32)
+    if mesh is None:
+        mesh = sp.leaves[0].sharding.mesh
+    fn = _sharded_packed_fn(mesh, axis_name, sp.plan_aux)
+    y = fn(x, *sp.leaves)
+    return y[: sp.num_rows]
