@@ -58,6 +58,7 @@ class PageRankResult:
     iterations: int = 0
     final_residual: float = 0.0
     converged: bool = False
+    error_code: int = 0
 
     def ranks_host(self) -> np.ndarray:
         return np.asarray(self.ranks) if self.ranks is not None else None
@@ -122,6 +123,15 @@ def pagerank(adj_matrix: CSRMatrix | None,
     if config is None:
         config = PageRankConfig()  # nullptr → defaults, pagerank.cu:60-63
     n = adj_matrix.num_rows
+    if adj_matrix.num_cols != n:
+        # power iteration needs a square adjacency (pagerank.cu contract)
+        from .errors import SpMVError as _E
+        result.ranks = None
+        result.iterations = 0
+        result.converged = False
+        result.final_residual = float("nan")
+        result.error_code = int(_E.INVALID_DIMENSION)
+        return result
     if n == 0:
         result.ranks = jnp.zeros((0,), jnp.float32)
         return result

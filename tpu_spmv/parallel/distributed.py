@@ -187,6 +187,11 @@ def pagerank_sharded(sharded, dangling_mask,
         mesh = arr.sharding.mesh
     n = sharded.num_rows
     result = PageRankResult()
+    if sharded.num_cols != n:
+        from ..errors import SpMVError as _E
+        result.error_code = int(_E.INVALID_DIMENSION)
+        result.final_residual = float("nan")
+        return result
     if n == 0:
         result.ranks = jnp.zeros((0,), jnp.float32)
         return result
