@@ -10,8 +10,8 @@ TPU-native re-design of the reference's two load-balanced CSR kernels:
   ``atomicAdd`` combines, ``spmv_kernels.cu:75-130``) — on TPU equal work is
   achieved at plan time: long rows are **split stride-wise** into bounded
   extra rows, over-deep cells **spill** into extra rows, and the
-  non-deterministic atomicAdd is replaced by a deterministic segment-sum
-  over the (few) extra-row partials.
+  non-deterministic atomicAdd is replaced by a deterministic in-kernel
+  fold of the extra-row partials (see below).
 
 Layout (built host-side by :class:`WindowEllPlan`):
 
@@ -43,10 +43,12 @@ Layout (built host-side by :class:`WindowEllPlan`):
 * per sub-tile, products are scatter-added by per-slot ``sb`` into a
   revolving (``N_TB``,128) output block covering the step's superblock
   (sequential TPU grid ⇒ deterministic, no atomics).
-* cells deeper than ``cap = ceil(bucket_nnz/1024) + cap_slack`` layers
-  spill to per-row extra rows (≤64 nnz each) appended after the real rows;
-  extras are sorted by target row at plan time and combined with one
-  sorted segment-sum.
+* cells deeper than the per-bucket layer cap spill to per-row extra rows
+  (≤64 nnz each) appended after the real rows.  Extras superblocks run
+  FIRST and publish their totals to a VMEM scratch table appended after x;
+  unit-valued combine nonzeros in the row superblocks then gather those
+  totals exactly like x entries — the whole combine happens inside the
+  kernel, deterministically, with no host-side scatter.
 """
 
 from __future__ import annotations
