@@ -198,12 +198,11 @@ def pagerank_sharded(sharded, dangling_mask,
     if packed:
         packed_fn = _sharded_packed_fn(mesh, axis_name, sharded.plan_aux)
         spmv_args = sharded.leaves
-
-        def local(*unused):
-            raise AssertionError
+        spmv = lambda r, args: packed_fn(r, *args)[:n]
     else:
-        local = _sharded_spmv_fn(mesh, axis_name, sharded.rows_per_shard)
+        flat_fn = _sharded_spmv_fn(mesh, axis_name, sharded.rows_per_shard)
         spmv_args = (sharded.values, sharded.col_indices, sharded.row_ids)
+        spmv = lambda r, args: flat_fn(*args, r)[:n]
     mask = jnp.asarray(np.asarray(dangling_mask, np.float32)[:n])
     damping = float(cfg.damping_factor)
     tol = float(cfg.tolerance)
@@ -220,10 +219,7 @@ def pagerank_sharded(sharded, dangling_mask,
 
         def body(state):
             it, r_old, _ = state
-            if packed:
-                Ar = packed_fn(r_old, *args)[:n]
-            else:
-                Ar = local(*args, r_old)[:n]
+            Ar = spmv(r_old, args)
             dangling_sum = jnp.dot(mask, r_old)
             r_new = damping * Ar + damping * dangling_sum * inv_n \
                 + (1.0 - damping) * inv_n
