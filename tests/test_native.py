@@ -106,3 +106,43 @@ class TestMatrixMarket:
     def test_missing_file(self, tmp_path):
         with pytest.raises(FileIOError):
             load_matrix_market(str(tmp_path / "nope.mtx"))
+
+
+def test_plan_native_numpy_equivalence(rng):
+    """The native planner primitives must produce bit-identical plans to
+    the NumPy fallbacks (the fallback is the spec)."""
+    import importlib
+    import os
+
+    import numpy as np
+
+    import tpu_spmv.native as native_mod
+
+    if not native_mod.available():
+        import pytest
+
+        pytest.skip("native library not built")
+
+    from tpu_spmv.kernels.window_ell import WindowEllPlan
+
+    csr = rng.power_law_csr(5000, 3000, avg_nnz=10, alpha=1.6)
+    plan_native = WindowEllPlan.build(csr, split_rows=128)
+
+    os.environ["TPU_SPMV_NO_NATIVE"] = "1"
+    try:
+        importlib.reload(native_mod)
+        assert not native_mod.available()
+        plan_numpy = WindowEllPlan.build(csr, split_rows=128)
+    finally:
+        del os.environ["TPU_SPMV_NO_NATIVE"]
+        importlib.reload(native_mod)
+        assert native_mod.available()
+
+    for a, b in zip(jax_leaves(plan_native), jax_leaves(plan_numpy)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def jax_leaves(tree):
+    import jax
+
+    return jax.tree_util.tree_leaves(tree)
