@@ -73,6 +73,7 @@ from .benchmark import (
     comparison_to_json,
 )
 from . import profiling
+from .io import load_matrix_market
 from .pagerank import (
     PageRankConfig,
     PageRankResult,
@@ -106,4 +107,5 @@ __all__ = [
     "benchmark_to_json", "benchmark_from_json", "comparison_to_json",
     "PageRankConfig", "PageRankResult", "pagerank", "pagerank_top_k",
     "pagerank_save_state", "pagerank_load_state", "profiling",
+    "load_matrix_market",
 ]
