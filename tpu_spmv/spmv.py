@@ -99,7 +99,7 @@ def spmv_validate_dimensions(num_cols: int, vec_size: int) -> bool:
 
 
 def _plan_for(A: CSRMatrix, kernel_type: KernelType,
-              step_groups: int) -> WindowEllPlan:
+              step_groups: int | None) -> WindowEllPlan:
     key = (int(kernel_type), step_groups)
     plan = A._plan_cache.get(key)
     if plan is None:
