@@ -26,7 +26,7 @@ import numpy as np
 from .bandwidth import compute_bandwidth_csr, compute_bandwidth_ell
 from .csr import CSRMatrix
 from .ell import ELLMatrix
-from .ops import spmv_cpu_csr
+from .ops import spmv_cpu_csr, spmv_cpu_ell
 from .spmv import SpMVConfig, spmv_csr as _spmv_csr_dispatch, _resolve_csr_kernel, \
     _ell_entry, KernelType
 from .kernels.window_ell import WindowEllOverflow
@@ -57,6 +57,12 @@ class BenchmarkResult:
     max_time_ms: float = 0.0
     stddev_time_ms: float = 0.0
     num_runs: int = 0
+    # TPU additions beyond the reference struct (benchmark.h:13-31):
+    # the timed kernel's output is checked against the CPU oracle so perf
+    # claims are self-verifying, and the one-time plan/transfer cost the
+    # reference never measures is reported alongside the per-call time.
+    correct: bool = True
+    plan_build_ms: float = 0.0
 
 
 @dataclasses.dataclass
@@ -104,19 +110,32 @@ def benchmark_csr(A: CSRMatrix, x, config: SpMVConfig | None = None,
     bc = bench_config or BenchmarkConfig()
     cfg = config or SpMVConfig()
     kernel_type = KernelType(cfg.kernel_type)
+    t_plan = time.perf_counter()
     try:
         fn, args = _resolve_csr_kernel(A, kernel_type, cfg)
     except WindowEllOverflow:
         fn, args = _resolve_csr_kernel(A, KernelType.SCALAR_CSR, cfg)
+    plan_ms = (time.perf_counter() - t_plan) * 1e3
     xd = jnp.asarray(np.asarray(x, np.float32))
+    # self-checking perf: verify the timed kernel's output against the CPU
+    # oracle once before timing (the reference's compare path computes
+    # both; its pure-benchmark path never verifies — gap closed here)
+    x_host = np.asarray(x, np.float32)
+    y_ref = np.zeros(A.num_rows, np.float32)
+    spmv_cpu_csr(A, x_host, y_ref)
+    y_dev = np.asarray(fn(*args, xd)[: A.num_rows])
+    correct = bool(np.allclose(y_dev, y_ref, rtol=1e-4, atol=1e-5))
     times = time_runs(lambda *a: fn(*a[:-1], a[-1]),
                       *args, xd,
                       num_runs=bc.num_runs,
                       iters_per_run=bc.iters_per_run,
                       warmup_runs=1 if bc.num_warmup_runs else 0)
-    return _stats(name, [t * 1e3 for t in times], A.nnz,
-                  lambda ms: compute_bandwidth_csr(A.num_rows, A.num_cols,
-                                                   A.nnz, ms))
+    r = _stats(name, [t * 1e3 for t in times], A.nnz,
+               lambda ms: compute_bandwidth_csr(A.num_rows, A.num_cols,
+                                                A.nnz, ms))
+    r.correct = correct
+    r.plan_build_ms = plan_ms
+    return r
 
 
 def benchmark_ell(A: ELLMatrix, x, config: SpMVConfig | None = None,
@@ -126,15 +145,25 @@ def benchmark_ell(A: ELLMatrix, x, config: SpMVConfig | None = None,
     import jax.numpy as jnp
 
     bc = bench_config or BenchmarkConfig()
+    t_plan = time.perf_counter()
     dev = A.to_device()
+    plan_ms = (time.perf_counter() - t_plan) * 1e3
     xd = jnp.asarray(np.asarray(x, np.float32))
+    x_host = np.asarray(x, np.float32)
+    y_ref = np.zeros(A.num_rows, np.float32)
+    spmv_cpu_ell(A, x_host, y_ref)
+    y_dev = np.asarray(_ell_entry(dev, xd)[: A.num_rows])
+    correct = bool(np.allclose(y_dev, y_ref, rtol=1e-4, atol=1e-5))
     times = time_runs(_ell_entry, dev, xd,
                       num_runs=bc.num_runs,
                       iters_per_run=bc.iters_per_run,
                       warmup_runs=1 if bc.num_warmup_runs else 0)
-    return _stats(name, [t * 1e3 for t in times], A.nnz,
-                  lambda ms: compute_bandwidth_ell(A.num_rows, A.num_cols,
-                                                   A.max_nnz_per_row, ms))
+    r = _stats(name, [t * 1e3 for t in times], A.nnz,
+               lambda ms: compute_bandwidth_ell(A.num_rows, A.num_cols,
+                                                A.max_nnz_per_row, ms))
+    r.correct = correct
+    r.plan_build_ms = plan_ms
+    return r
 
 
 def compare_tpu_cpu_csr(A: CSRMatrix, x, config: SpMVConfig | None = None,
@@ -178,7 +207,9 @@ def benchmark_to_json(result: BenchmarkResult) -> str:
         f'  "min_time_ms": {f(result.min_time_ms)},\n'
         f'  "max_time_ms": {f(result.max_time_ms)},\n'
         f'  "stddev_time_ms": {f(result.stddev_time_ms)},\n'
-        f'  "num_runs": {result.num_runs}\n'
+        f'  "num_runs": {result.num_runs},\n'
+        f'  "correct": {"true" if result.correct else "false"},\n'
+        f'  "plan_build_ms": {f(result.plan_build_ms)}\n'
         "}"
     )
 
@@ -209,4 +240,6 @@ def benchmark_from_json(text: str) -> BenchmarkResult:
     r.max_time_ms = float(data.get("max_time_ms", 0.0))
     r.stddev_time_ms = float(data.get("stddev_time_ms", 0.0))
     r.num_runs = int(data.get("num_runs", 0))
+    r.correct = bool(data.get("correct", True))
+    r.plan_build_ms = float(data.get("plan_build_ms", 0.0))
     return r

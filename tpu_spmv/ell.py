@@ -210,6 +210,22 @@ class ELLMatrix:
             self._device_cache = DeviceELL.from_host(self, device=device)
         return self._device_cache
 
+    def from_device(self, dev: "DeviceELL | None" = None) -> None:
+        """Download device arrays back into host storage (reference
+        ``ell_from_gpu``, ``ell_matrix.cpp:219-252``): the padded slot-major
+        device form is cropped and flattened back to the column-major 1D
+        host layout.  ``dev=None`` uses this matrix's cached device form."""
+        dev = dev if dev is not None else self._device_cache
+        if dev is None:
+            raise InvalidArgumentError("from_device: no device matrix")
+        if dev.num_rows != self.num_rows or dev.num_cols != self.num_cols \
+                or dev.max_nnz_per_row != self.max_nnz_per_row:
+            raise InvalidDimensionError("from_device: dimension mismatch")
+        k, r = self.max_nnz_per_row, self.num_rows
+        self.values = np.asarray(dev.values)[:k, :r].reshape(-1).copy()
+        self.col_indices = \
+            np.asarray(dev.col_indices)[:k, :r].reshape(-1).copy()
+
     def free_device(self) -> None:
         if self._device_cache is not None:
             self._device_cache.delete()
@@ -298,6 +314,11 @@ def ell_get_element(mat: ELLMatrix, row: int, col: int) -> float:
 
 def ell_to_device(mat: ELLMatrix, device=None) -> DeviceELL:
     return mat.to_device(device)
+
+
+def ell_from_device(mat: ELLMatrix, dev: DeviceELL | None = None) -> None:
+    """Reference ``ell_from_gpu`` (``ell_matrix.cpp:219-252``)."""
+    mat.from_device(dev)
 
 
 def ell_serialize(mat: ELLMatrix, path) -> SpMVError:

@@ -173,18 +173,26 @@ def pagerank_top_k(result: PageRankResult, num_nodes: int,
     return [TopKNode(int(idx[i]), float(vals[i])) for i in range(actual_k)]
 
 
+def _state_path(path) -> str:
+    """``np.savez`` silently appends ``.npz``; normalize so save and load
+    agree on the on-disk name for suffix-less paths."""
+    path = str(path)
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def pagerank_save_state(result: PageRankResult, path) -> None:
     """Persist ranks + iteration count for resumption (no reference
     counterpart; the closest is matrix serialization, SURVEY §5)."""
-    np.savez(path, ranks=result.ranks_host(),
-             iterations=np.int64(result.iterations),
-             final_residual=np.float64(result.final_residual))
+    with open(_state_path(path), "wb") as f:
+        np.savez(f, ranks=result.ranks_host(),
+                 iterations=np.int64(result.iterations),
+                 final_residual=np.float64(result.final_residual))
 
 
 def pagerank_load_state(path) -> PageRankResult:
     """Load a saved state; feed ``.ranks`` into ``pagerank(...,
     initial_ranks=...)`` to resume."""
-    data = np.load(path)
+    data = np.load(_state_path(path))
     r = PageRankResult()
     r.ranks = jnp.asarray(data["ranks"])
     r.iterations = int(data["iterations"])

@@ -41,8 +41,14 @@ from .kernels.scalar import pad_x, spmv_csr_scalar
 from .kernels.window_ell import WindowEllOverflow, WindowEllPlan, spmv_window_ell
 
 # Largest num_cols whose padded x window-table fits comfortably in VMEM
-# (the analog of the reference's texture-size practicality limit).
-VMEM_X_MAX_COLS = 1 << 21
+# (the analog of the reference's texture-size practicality limit).  The
+# kernel holds TWO copies of padded x (the input block plus the gather
+# table scratch that also carries the extras totals), so the cap is
+# 2^20 cols = 2 x 4 MB out of ~16 MB/core VMEM, leaving room for the
+# double-buffered packed blocks and the output block.  Resource failures
+# past the cap are additionally caught at dispatch and retried on the
+# streaming path (see ``_EXEC_ERRORS`` handling below).
+VMEM_X_MAX_COLS = 1 << 20
 
 # merge-path row-splitting granularity: rows longer than this are
 # stride-split into extra rows (the TPU analog of the reference's
@@ -68,7 +74,13 @@ class SpMVConfig:
 
     kernel_type: KernelType = KernelType.SCALAR_CSR
     block_size: int = 256          # step_groups = block_size // 2
-    use_vmem_x: bool = False       # texture-cache analog (C11)
+    # texture-cache analog (C11): True routes VECTOR_CSR/MERGE_PATH through
+    # the VMEM-resident-x packed kernel (subject to VMEM_X_MAX_COLS);
+    # False opts out to the streaming global-x path.  The reference's
+    # use_texture defaults to false because texture setup has a cost
+    # (spmv_kernels.cu:14-39); on TPU the cached-x path is always
+    # profitable when it fits, so the default inverts to True.
+    use_vmem_x: bool = True
 
     @property
     def step_groups(self) -> int | None:
@@ -111,9 +123,35 @@ def _plan_for(A: CSRMatrix, kernel_type: KernelType,
     return plan
 
 
+# Errors that indicate the compiled kernel itself failed (Mosaic lowering,
+# VMEM/SMEM resource exhaustion, runtime faults) — the only failures that
+# may legally become SpMVError.EXECUTION.  Genuine library bugs
+# (TypeError, shape mismatches raised at trace time as ValueError from
+# *our* code paths before dispatch) propagate, mirroring the reference's
+# per-site error discrimination (spmv_kernels.cu:299-308).
+_EXEC_ERRORS = (jax.errors.JaxRuntimeError,)
+
+
+def _run_with_fallback(A: CSRMatrix, fn, args, x, was_packed: bool):
+    """Execute the resolved kernel; on a device/compile failure of the
+    packed path (e.g. VMEM exhaustion near the column cap — plan-time
+    guards cannot see compile-time resources), retry once on the
+    streaming path before reporting EXECUTION."""
+    try:
+        return fn(*args, x)[: A.num_rows], fn, args, 0
+    except _EXEC_ERRORS:
+        if not was_packed:
+            return None, fn, args, int(SpMVError.EXECUTION)
+    fn, args = _scalar_entry, (A.to_device(),)
+    try:
+        return fn(*args, x)[: A.num_rows], fn, args, 0
+    except _EXEC_ERRORS:
+        return None, fn, args, int(SpMVError.EXECUTION)
+
+
 def spmv_csr(A: CSRMatrix | None, x, config: SpMVConfig | None = None,
              vec_size: int | None = None, measure: bool = False,
-             measure_iters: int = 10) -> SpMVResult:
+             measure_iters: int = 200) -> SpMVResult:
     """``y = A @ x`` on device (reference ``spmv_csr``,
     ``spmv_kernels.cu:215-326``).
 
@@ -149,10 +187,10 @@ def spmv_csr(A: CSRMatrix | None, x, config: SpMVConfig | None = None,
         # structure too adversarial for the packed layout → scalar fallback
         fn, args = _resolve_csr_kernel(A, KernelType.SCALAR_CSR, config)
 
-    try:
-        result.y = fn(*args, x)[: A.num_rows]
-    except Exception:
-        result.error_code = int(SpMVError.EXECUTION)
+    was_packed = fn is spmv_window_ell
+    result.y, fn, args, err = _run_with_fallback(A, fn, args, x, was_packed)
+    if err:
+        result.error_code = err
         return result
 
     if measure:
@@ -172,10 +210,11 @@ def _resolve_csr_kernel(A: CSRMatrix, kernel_type: KernelType,
                         config: SpMVConfig):
     """Pick the jitted kernel callable + its bound matrix argument."""
     if kernel_type in (KernelType.VECTOR_CSR, KernelType.MERGE_PATH) \
-            and A.num_cols <= VMEM_X_MAX_COLS:
+            and config.use_vmem_x and A.num_cols <= VMEM_X_MAX_COLS:
         plan = _plan_for(A, kernel_type, config.step_groups)
         return spmv_window_ell, (plan,)
-    # SCALAR_CSR, ELL_KERNEL-on-CSR, or cols too large for VMEM residency
+    # SCALAR_CSR, ELL_KERNEL-on-CSR, use_vmem_x opt-out, or cols too
+    # large for VMEM residency
     return _scalar_entry, (A.to_device(),)
 
 
@@ -193,7 +232,7 @@ def _scalar_entry(dev: DeviceCSR, x: jax.Array) -> jax.Array:
 
 def spmv_ell(A: ELLMatrix | None, x, config: SpMVConfig | None = None,
              vec_size: int | None = None, measure: bool = False,
-             measure_iters: int = 10) -> SpMVResult:
+             measure_iters: int = 200) -> SpMVResult:
     """``y = A @ x`` for ELL (reference ``spmv_ell``,
     ``spmv_kernels.cu:328-420``)."""
     result = SpMVResult()
@@ -217,22 +256,22 @@ def spmv_ell(A: ELLMatrix | None, x, config: SpMVConfig | None = None,
     # structures the packed layout rejects or operands too wide for VMEM
     fn = args = None
     if A.num_cols <= VMEM_X_MAX_COLS:
-        plan = A._plan_cache.get("plan")
-        if plan is None:
+        if "plan" not in A._plan_cache:
+            # a rejected build is cached as None so later calls take the
+            # fallback immediately instead of re-running the O(nnz) build
             try:
-                plan = WindowEllPlan.build(A.to_csr())
-                A._plan_cache["plan"] = plan
+                A._plan_cache["plan"] = WindowEllPlan.build(A.to_csr())
             except WindowEllOverflow:
                 A._plan_cache["plan"] = None
-        if A._plan_cache.get("plan") is not None:
-            plan = A._plan_cache["plan"]
+        plan = A._plan_cache["plan"]
+        if plan is not None:
             fn, args = spmv_window_ell, (plan,)
     if fn is None:
         dev = A.to_device()
         fn, args = (lambda d, v: _ell_entry(d, v)), (dev,)
     try:
         result.y = fn(*args, x)[: A.num_rows]
-    except Exception:
+    except _EXEC_ERRORS:
         result.error_code = int(SpMVError.EXECUTION)
         return result
 
