@@ -1,4 +1,4 @@
-"""Window-ELL Pallas kernel — the fast CSR paths (C8 vector + C9 merge-path).
+"""Window-ELL Pallas kernel v2 — the fast CSR paths (C8 vector + C9 merge-path).
 
 TPU-native re-design of the reference's two load-balanced CSR kernels:
 
@@ -32,23 +32,32 @@ Layout (built host-side by :class:`WindowEllPlan`):
   block-ELL layout (~6-10x fewer padded slots on power-law matrices).
 * per-nnz streamed bytes: 4 (f32 value) + 1 (int8 lane index) + 1 (int8
   sub-block) = 6, vs the reference byte model's 8 (f32 value + i32 column).
-* groups are sorted by superblock and packed **contiguously** into HBM
-  blocks of ``step_groups`` groups — no per-superblock padding.  The grid
-  runs one step per (superblock, block) pair; consecutive steps that share
-  a block re-use its VMEM copy (Pallas skips the DMA when the block index
-  repeats), and each step names its live group range ``[off, off+cnt)``
-  via scalar prefetch.  Inside a step the block is processed in sub-tiles
-  of ``T_SUB`` groups; sub-tiles outside the live range are skipped with
-  ``pl.when``, and edge sub-tiles are masked by a group-index compare.
-* per sub-tile, products are scatter-added by per-slot ``sb`` into a
-  revolving (``N_TB``,128) output block covering the step's superblock
-  (sequential TPU grid ⇒ deterministic, no atomics).
-* cells deeper than the per-bucket layer cap spill to per-row extra rows
-  (≤64 nnz each) appended after the real rows.  Extras superblocks run
-  FIRST and publish their totals to a VMEM scratch table appended after x;
-  unit-valued combine nonzeros in the row superblocks then gather those
-  totals exactly like x entries — the whole combine happens inside the
-  kernel, deterministically, with no host-side scatter.
+
+v2 kernel architecture (round 2 — halves the scatter cost and removes the
+per-superblock grid machinery of round 1):
+
+* **The whole output lives in a VMEM-resident block** ``(out8, 128)`` for
+  the entire kernel: row position ``p`` sits at (sublane ``p//128``, lane
+  ``p%128``).  Real rows occupy positions ``[0, num_rows)``; extra rows
+  (split/spill targets) occupy positions ``[extras_base, ...)`` after them.
+* **Grid steps are HBM blocks** (``step_groups`` groups each), nothing
+  else: no per-superblock steps, no live-range bookkeeping.  A step
+  processes all its groups in sub-tiles of ``T_SUB``; each run of
+  ``T_BASE`` consecutive groups shares a *scatter base* (the superblock's
+  first sublane, scalar-prefetched), and the sub-tile's products are
+  folded by 8 masked sublane-sums and added into the output block at the
+  dynamic base — one (8,128) read-modify-write per ``T_BASE`` groups.
+  Group runs are padded to ``T_BASE`` with zero-valued slots at plan time
+  (measured ~6% on the 10M-nnz power-law headline).  8 targets instead of
+  round 1's 16 costs ~11 ps/slot on v5e (was ~24).
+* **Extras groups run first** (they sit in the leading HBM blocks, padded
+  to a block boundary); when they finish, one step copies their totals
+  from the output block into the gather-table scratch appended after x,
+  and unit-valued *combine* nonzeros in later row groups gather those
+  totals exactly like x entries — the split/spill reduction happens
+  inside the kernel, deterministically, with no atomics and no host-side
+  scatter (the determinism contract the reference's merge-path atomicAdd
+  lacks, ``spmv_kernels.cu:116,128``).
 """
 
 from __future__ import annotations
@@ -69,17 +78,21 @@ from ..errors import InvalidFormatError
 LANE = 128
 CHUNKS = 8            # table rows (col chunks) per window
 WINDOW = 1024         # columns per window (CHUNKS * LANE)
-ROWS_PER_BLOCK = 128  # lanes
-SUP = 2048            # rows per output superblock
-N_TB = SUP // ROWS_PER_BLOCK  # scatter targets per superblock
-T_SUB = 16            # groups per compute sub-tile (skip granularity)
+SUP = 1024            # rows per superblock = 8 scatter targets (v2)
+N_TB = SUP // LANE    # masked-sum targets per superblock
+T_SUB = 16            # groups per compute sub-tile
+T_BASE = 8            # groups sharing one scatter base (2 RMWs/sub-tile)
 SPILL_RUN = 64        # max spilled nnz absorbed per extra row
+
+# VMEM budget for (gather table + output block + x input + double-buffered
+# packed blocks); ~16 MB/core on v5e minus compiler headroom.
+VMEM_BUDGET = 13 * (1 << 20)
 
 
 class WindowEllOverflow(InvalidFormatError):
-    """The packed layout would inflate memory beyond ``max_inflation`` —
+    """The packed layout would not fit (VMEM/SMEM/inflation guards) —
     the structure is too adversarial for this kernel; callers fall back to
-    the scalar path (mirrors the selector's role, C6)."""
+    the streaming path (mirrors the selector's role, C6)."""
 
 
 def _pad_pow2(n: int, minimum: int = 1) -> int:
@@ -89,9 +102,8 @@ def _pad_pow2(n: int, minimum: int = 1) -> int:
 
 def _pad_geo(n: int, minimum: int = 8) -> int:
     """Round up to a x1.5 geometric bucket (bounds compiled-variant count
-    like pow2 buckets but wastes <=33% instead of <=50% — and each wasted
-    step costs ~400 ns of grid machinery)."""
-    v = max(minimum, 8)
+    like pow2 buckets but wastes <=33% instead of <=50%)."""
+    v = max(minimum, 1)
     while v < n:
         v = -(-v * 3 // 2)
     return v
@@ -120,40 +132,37 @@ class WindowEllPlan:
     ``split_rows=None`` → vector-CSR semantics; ``split_rows=S`` →
     merge-path semantics (rows stride-split into ≤S-nnz extra rows).  In
     both modes over-deep cells spill to extra rows, and only the extras go
-    through the final segment-sum combine — ordinary rows come straight out
-    of the kernel's output block.
+    through the in-kernel combine — ordinary rows come straight out of the
+    kernel's output block.
     """
 
-    vals: jax.Array          # f32 (n_groups*8, 128)
-    lo: jax.Array            # i8  (n_groups*8, 128)  col % 128 per slot
-    sb: jax.Array            # i8  (n_groups*8, 128)  (row/128) % N_TB
-    wg: jax.Array            # i32 (n_groups,)  x-window per group (SMEM)
-    blk_step: jax.Array      # i32 (n_steps,)   HBM block per step
-    sup_step: jax.Array      # i32 (n_steps,)   output superblock per step
-    off_step: jax.Array      # i32 (n_steps,)   first live group in block
-    cnt_step: jax.Array      # i32 (n_steps,)   live group count
-    eoff_step: jax.Array     # i32 (n_steps,)   scratch row to finalize, -1
-    extra_to_row: jax.Array  # i32 (n_extra,)   extra slot → original row
+    vals: jax.Array          # f32 (n_groups_pad*8, 128)
+    lo: jax.Array            # i8  (n_groups_pad*8, 128)  col % 128 per slot
+    sb: jax.Array            # i8  (n_groups_pad*8, 128)  (pos/128) % N_TB
+    wg: jax.Array            # i32 (n_groups_pad,)  x-window per group (SMEM)
+    base: jax.Array          # i32 (n_groups_pad/T_BASE,) superblock per run
+    blk_step: jax.Array      # i32 (n_steps,) HBM block per step, -1 = pad
+    fin_step: jax.Array      # i32 (n_steps,) 1 = copy extras totals first
+    extra_to_row: jax.Array  # i32 (n_extra,)  extra slot → original row
     num_rows: int
     num_cols: int
-    extras_base: int         # first extra-row position (128-aligned)
+    extras_base: int         # first extra-row position (SUP-aligned)
     n_extra: int
-    n_sup: int               # padded superblock count (pow2)
-    e8: int                  # scratch rows for extras totals (pow2, ≥8)
+    e8: int                  # gather-table sublanes for extras totals
+    out8: int                # output block sublanes (rows ++ extras)
     cols_pad: int
     step_groups: int
     split_rows: int | None
     occupancy: float
 
     def tree_flatten(self):
-        leaves = (self.vals, self.lo, self.sb, self.wg, self.blk_step,
-                  self.sup_step, self.off_step, self.cnt_step,
-                  self.eoff_step, self.extra_to_row)
+        leaves = (self.vals, self.lo, self.sb, self.wg, self.base,
+                  self.blk_step, self.fin_step, self.extra_to_row)
         # occupancy is diagnostic only — excluded from aux so it never
         # fragments the jit cache (plans reconstructed via pytree ops
         # report occupancy 0.0)
         aux = (self.num_rows, self.num_cols, self.extras_base, self.n_extra,
-               self.n_sup, self.e8, self.cols_pad, self.step_groups,
+               self.e8, self.out8, self.cols_pad, self.step_groups,
                self.split_rows, 0.0)
         return leaves, aux
 
@@ -167,7 +176,7 @@ class WindowEllPlan:
 
     @property
     def n_steps(self) -> int:
-        return int(self.sup_step.shape[0])
+        return int(self.blk_step.shape[0])
 
     @staticmethod
     def build(csr: CSRMatrix, split_rows: int | None = None,
@@ -177,19 +186,26 @@ class WindowEllPlan:
               device=None) -> "WindowEllPlan":
         """Pack a host CSR matrix into the window-ELL layout (vectorized).
 
-        Raises :class:`WindowEllOverflow` when padding would exceed
-        ``max_inflation`` x nnz slots (plus a 4M-slot floor), signalling the
-        caller to use the scalar kernel instead.
+        Raises :class:`WindowEllOverflow` when the layout would exceed the
+        inflation/SMEM/VMEM guards, signalling the caller to use the
+        streaming kernel instead.
         """
         rows, nnz = csr.num_rows, csr.nnz
         cols_pad = _bucket(max(csr.num_cols, 1))
         n_windows = cols_pad // WINDOW
         if step_groups is None:
-            # 128 saturates HBM on TPU; small steps keep interpret-mode
-            # (CPU test) tracing cheap
-            step_groups = 128 if not _use_interpret() else 8
+            # 256 measured best on v5e (fewer grid steps); small steps keep
+            # interpret-mode (CPU test) tracing cheap
+            step_groups = 256 if not _use_interpret() else 8
         S = step_groups
         row_len = np.diff(csr.row_ptrs).astype(np.int64)
+        if nnz:
+            row_of_nnz = np.repeat(np.arange(rows, dtype=np.int64), row_len)
+            cols64 = csr.col_indices.astype(np.int64)
+            w = cols64 // WINDOW
+            c = (cols64 // LANE) % CHUNKS
+        else:
+            row_of_nnz = cols64 = w = c = np.zeros(0, np.int64)
 
         # ---- strided row splitting (merge-path equal-work) ----
         if split_rows:
@@ -203,13 +219,11 @@ class WindowEllPlan:
             np.cumsum(extras_per_row[:-1], out=extra_base_of_row[1:])
         extra_to_row = np.repeat(np.arange(rows, dtype=np.int64),
                                  extras_per_row)
-        # SUP-aligned so extras superblocks never mix with row rows —
-        # extras sups are processed FIRST and their totals written to the
-        # VMEM scratch table that row-sup combine nonzeros gather from
-        extras_base = -(-max(rows, 1) // SUP) * SUP
+        # extra rows live after the real rows, SUP-aligned, in a
+        # geometrically-bucketed position space (bounds kernel variants)
+        extras_base = _pad_geo(-(-max(rows, 1) // SUP), minimum=1) * SUP
 
         if nnz:
-            row_of_nnz = np.repeat(np.arange(rows, dtype=np.int64), row_len)
             in_row = np.arange(nnz, dtype=np.int64) - \
                 np.repeat(csr.row_ptrs[:-1].astype(np.int64), row_len)
             part = in_row % np.repeat(parts, row_len)  # strided assignment
@@ -217,11 +231,8 @@ class WindowEllPlan:
                 part == 0, row_of_nnz,
                 extras_base + np.repeat(extra_base_of_row, row_len)
                 + part - 1)
-            cols64 = csr.col_indices.astype(np.int64)
-            w = cols64 // WINDOW
-            c = (cols64 // LANE) % CHUNKS
         else:
-            row_of_nnz = pos = cols64 = w = c = np.zeros(0, np.int64)
+            pos = np.zeros(0, np.int64)
 
         # the gather table is x (cols_pad columns) followed by the extras
         # scratch region; combine nonzeros live beyond cols_pad, so windows
@@ -238,17 +249,12 @@ class WindowEllPlan:
         lane, sup, layer = derive(pos, w, c)
 
         # ---- layer cap + spill to extra rows ----
-        # One round caps the row region (measured best for power-law
-        # matrices); extra rounds re-cap the extras region itself, which
-        # can be enabled per matrix via ``spill_rounds``.
         n_extra = n_extra_split
         if nnz:
             for _round in range(max(spill_rounds, 1)):
                 bw = sup * n_windows + w
                 ubw, inv, cnt = _unique_ic(bw)
                 # layer cap per bucket: ideal layers plus a relative margin
-                # (additive slack wastes ~slack/ideal when buckets are
-                # shallow; the relative margin keeps waste proportional)
                 cap = np.maximum(
                     -(-(cnt + (cnt * cap_margin).astype(np.int64))
                       // (CHUNKS * LANE)),
@@ -277,14 +283,11 @@ class WindowEllPlan:
                 lane, sup, layer = derive(pos, w, c)
         vals_src = csr.values
         extras_sup0 = extras_base // SUP
-        # scratch rows: each extras superblock publishes a full N_TB-row
-        # panel, so size by superblock count (pow2-bucketed to bound the
-        # compiled-variant count)
-        e8 = _pad_pow2(max(-(-n_extra // SUP), 1)) * N_TB
+        lvl2_sup0 = extras_sup0
         if n_extra:
             # interleave extras by (occurrence-within-row, row): a row's
-            # extras land at widely-spaced scratch columns, so the combine
-            # nonzeros spread over windows/chunks instead of stacking one
+            # extras land at widely-spaced table slots, so their level-2
+            # gathers spread over windows/chunks instead of stacking one
             # cell deep
             k_within = _cumcount(extra_to_row)
             perm = np.lexsort((extra_to_row, k_within))
@@ -296,16 +299,38 @@ class WindowEllPlan:
                 pos = np.where(is_extra, extras_base + inv_perm[safe_idx],
                                pos)
             extra_to_row = extra_to_row[perm]
-            # fold the combine into the kernel: one synthetic nonzero per
-            # extra row, value 1.0, column = scratch slot of that extra's
-            # total (beyond cols_pad), target = the ORIGINAL row.  Row sups
-            # gather extras totals from the VMEM scratch exactly like x.
-            pos = np.concatenate([pos, extra_to_row])
-            cols64 = np.concatenate(
-                [cols64, cols_pad + np.arange(n_extra, dtype=np.int64)])
+            # fold the combine into the kernel, in TWO levels.  A heavy
+            # row's K extras all target one output lane (row % 128), so a
+            # flat combine would need K distinct table chunks per lane —
+            # measured on the 10M-nnz headline it scattered 88K combine
+            # nonzeros over 1.9K near-empty buckets (occupancy 0.026).
+            # Instead each original row gets ONE level-2 extra row whose
+            # nonzeros are unit-valued gathers of that row's level-1
+            # totals (level-2 lanes are free, so they pack densely), and
+            # the row region carries exactly one combine nonzero per row,
+            # grouped by the row's superblock.
+            rows_w, lvl2_of_extra = np.unique(extra_to_row,
+                                              return_inverse=True)
+            R2 = len(rows_w)
+            lvl2_base = -(-n_extra // SUP) * SUP  # SUP-aligned after lvl1
+            lvl2_sup0 = extras_sup0 + lvl2_base // SUP
+            pos_l2 = extras_base + lvl2_base + lvl2_of_extra
+            cols_l2 = cols_pad + np.arange(n_extra, dtype=np.int64)
+            pos_fin = rows_w
+            n_lvl2_pos = R2
+            cols_fin = cols_pad + lvl2_base \
+                + np.arange(R2, dtype=np.int64)
+            pos = np.concatenate([pos, pos_l2, pos_fin])
+            cols64 = np.concatenate([cols64, cols_l2, cols_fin])
             vals_src = np.concatenate(
-                [vals_src, np.ones(n_extra, np.float32)])
-            row_of_nnz = np.concatenate([row_of_nnz, extra_to_row])
+                [vals_src, np.ones(n_extra + R2, np.float32)])
+            extra_to_row = np.concatenate([extra_to_row, rows_w])
+            n_extra_pos = lvl2_base + n_lvl2_pos
+        else:
+            n_extra_pos = 0
+        # gather-table sublanes for extras totals (pow2-bucketed to bound
+        # the compiled-variant count)
+        e8 = _pad_pow2(max(-(-n_extra_pos // SUP), 1)) * N_TB
         n_tab_windows = n_windows + e8 // CHUNKS
         n_all = len(pos)
         if n_all:
@@ -320,7 +345,8 @@ class WindowEllPlan:
 
         # ---- groups per (superblock, window) bucket ----
         # bucket order: extras superblocks FIRST (their totals must be in
-        # scratch before row sups read them), then row superblocks
+        # the gather table before row groups' combine slots read them),
+        # then row superblocks
         lmax = np.zeros(len(ubw), np.int64)
         if n_all:
             np.maximum.at(lmax, inv, layer + 1)
@@ -334,91 +360,111 @@ class WindowEllPlan:
         n_groups_real = int(lmax.sum())
         g_sup = np.repeat(ubw // n_tab_windows, lmax)
         g_w = np.repeat(ubw % n_tab_windows, lmax)
-        total_pos = extras_base + n_extra
-        n_sup_real = max(-(-max(total_pos, 1) // SUP), 1)
-        n_sup = _pad_pow2(n_sup_real)
 
-        # memory-blowup guard: the layer-cap spill absorbs adversarial
-        # structure, so this only fires when the packed layout would still
-        # be both large in absolute terms (> 4M slots = 24 MB) and heavily
-        # inflated relative to nnz
-        slots = max(n_groups_real, 1) * CHUNKS * LANE
-        if nnz and slots > max_inflation * nnz and slots > (1 << 22):
-            raise WindowEllOverflow(
-                f"window-ELL padding {slots} slots for {nnz} nnz "
-                f"(inflation {slots / nnz:.1f}x > {max_inflation}x)")
-        # the per-group window index is scalar-prefetched into SMEM (~1 MB);
-        # refuse plans whose prefetch would not fit (the flat path handles
-        # such matrices; healthy-occupancy plans stay far below this)
-        if n_groups_real > 180_000:
-            raise WindowEllOverflow(
-                f"window-ELL plan needs {n_groups_real} groups; the "
-                f"per-group window table would exceed SMEM")
-
-        # groups are already ordered by (sup, w, layer); nnz → group index
+        # groups are ordered by (region, sup, w, layer); nnz → group index
         group_start = np.zeros(len(ubw), np.int64)
         if len(ubw):
             np.cumsum(lmax[:-1], out=group_start[1:])
 
-        # ---- steps: one per (superblock, HBM block) pair ----
-        n_blocks = max(-(-n_groups_real // S), 1)
-        # group range per superblock (empty sups get an empty range)
-        sup_first = np.zeros(n_sup_real, np.int64)
-        sup_count = np.zeros(n_sup_real, np.int64)
-        if len(g_sup):
-            uq, first, count = np.unique(g_sup, return_index=True,
-                                         return_counts=True)
-            sup_first[uq] = first
-            sup_count[uq] = count
-        blk_l, sup_l, off_l, cnt_l, eoff_l = [], [], [], [], []
-        prev_blk = 0
-        # extras sups first (finalized into scratch), then row sups
-        sup_iter = list(range(extras_sup0, n_sup_real)) + \
-            list(range(0, min(extras_sup0, n_sup_real)))
-        for s_id in sup_iter:
-            a = int(sup_first[s_id])
-            b = a + int(sup_count[s_id])
-            is_extras_sup = s_id >= extras_sup0
-            fin = (s_id - extras_sup0) * N_TB if is_extras_sup else -1
-            if b == a:
-                # empty superblock: one no-work step to zero its output
-                blk_l.append(prev_blk)
-                sup_l.append(s_id)
-                off_l.append(0)
-                cnt_l.append(0)
-                eoff_l.append(fin)
-                continue
-            for bidx in range(a // S, (b - 1) // S + 1):
-                lo_g = max(a, bidx * S)
-                hi_g = min(b, (bidx + 1) * S)
-                blk_l.append(bidx)
-                sup_l.append(s_id)
-                off_l.append(lo_g - bidx * S)
-                cnt_l.append(hi_g - lo_g)
-                eoff_l.append(-1)
-                prev_blk = bidx
-            eoff_l[-1] = fin  # finalize scratch on the sup's last step
-        n_steps = len(blk_l)
-        n_steps_pad = _pad_geo(n_steps)
-        # pad steps repeat the last real step with cnt=0: same sup (no
-        # re-zeroing of live output), same block (no DMA), no finalize
-        blk_l += [blk_l[-1]] * (n_steps_pad - n_steps)
-        sup_l += [sup_l[-1]] * (n_steps_pad - n_steps)
-        off_l += [0] * (n_steps_pad - n_steps)
-        cnt_l += [0] * (n_steps_pad - n_steps)
-        eoff_l += [-1] * (n_steps_pad - n_steps)
-
+        # ---- pad group runs so every T_BASE-aligned run shares one
+        # superblock (the scatter base), and each extras section (level-1,
+        # level-2) ends at a block boundary — the extras→table copies
+        # happen between grid steps ----
+        fin_blocks: list[int] = []
+        if n_groups_real:
+            change = np.nonzero(np.diff(g_sup))[0] + 1
+            run_starts = np.concatenate(
+                [np.zeros(1, np.int64), change]).astype(np.int64)
+            run_ends = np.concatenate(
+                [change, np.asarray([n_groups_real], np.int64)])
+            run_counts = run_ends - run_starts
+            run_sup = g_sup[run_starts]
+            pad_counts = -(-run_counts // T_BASE) * T_BASE
+            # processing order: level-1 extras, level-2 extras, rows
+            run_lvl1 = (run_sup >= extras_sup0) & (run_sup < lvl2_sup0)
+            run_lvl2 = run_sup >= lvl2_sup0
+            running = 0
+            for sec in (run_lvl1, run_lvl2):
+                if not sec.any():
+                    continue
+                last = int(np.nonzero(sec)[0][-1])
+                sec_total = running + int(pad_counts[sec].sum())
+                deficit = (-sec_total) % S
+                pad_counts[last] += deficit
+                running = sec_total + deficit
+                fin_blocks.append(running // S)
+            total = int(pad_counts.sum())
+            n_blocks = max(-(-total // S), 1)
+            pad_counts[-1] += n_blocks * S - total
+            new_starts = np.zeros(len(run_counts), np.int64)
+            np.cumsum(pad_counts[:-1], out=new_starts[1:])
+            old_to_new = np.repeat(new_starts - run_starts, run_counts) \
+                + np.arange(n_groups_real, dtype=np.int64)
+            g_sup_pad = np.repeat(run_sup, pad_counts)
+            # interleave scatter bases: cycle consecutive T_BASE runs
+            # through different superblocks within each section, so the
+            # (8,128) output read-modify-writes hit different addresses —
+            # same-address RMW chains serialize the VPU (measured ~1.5x
+            # on the headline).  Section order (lvl1, lvl2, rows) and the
+            # section block boundaries are preserved.
+            rs_pad = g_sup_pad[::T_BASE]
+            r_reg = np.where(rs_pad < extras_sup0, 2,
+                             np.where(rs_pad < lvl2_sup0, 0, 1))
+            rk = _cumcount(rs_pad)
+            run_perm = np.lexsort((rs_pad, rk, r_reg))
+            new_of_old_run = np.empty(len(run_perm), np.int64)
+            new_of_old_run[run_perm] = np.arange(len(run_perm),
+                                                 dtype=np.int64)
+            old_to_new = new_of_old_run[old_to_new // T_BASE] * T_BASE \
+                + old_to_new % T_BASE
+            g_sup_pad = rs_pad[run_perm].repeat(T_BASE)
+        else:
+            n_blocks = 1
+            old_to_new = np.zeros(0, np.int64)
+            g_sup_pad = np.zeros(S, np.int64)
         n_groups_pad = n_blocks * S
+
+        # memory-blowup guard: fires when the packed layout would be both
+        # large in absolute terms (> 4M slots = 24 MB) and heavily inflated
+        # relative to nnz
+        slots = n_groups_pad * CHUNKS * LANE
+        if nnz and slots > max_inflation * nnz and slots > (1 << 22):
+            raise WindowEllOverflow(
+                f"window-ELL padding {slots} slots for {nnz} nnz "
+                f"(inflation {slots / nnz:.1f}x > {max_inflation}x)")
+        # per-group window/base indices are scalar-prefetched into SMEM
+        # (~1 MB); refuse plans whose prefetch would not fit
+        if n_groups_pad > 180_000:
+            raise WindowEllOverflow(
+                f"window-ELL plan needs {n_groups_pad} groups; the "
+                f"per-group window table would exceed SMEM")
+        out8 = extras_base // LANE + e8
+        cols8 = cols_pad // LANE
+        vmem_bytes = (cols8 + e8 + out8 + cols8) * LANE * 4 \
+            + 2 * S * CHUNKS * LANE * 6
+        if vmem_bytes > VMEM_BUDGET:
+            raise WindowEllOverflow(
+                f"window-ELL working set {vmem_bytes} B exceeds the VMEM "
+                f"budget {VMEM_BUDGET} B")
+
+        n_steps = _pad_geo(n_blocks)
+        blk = np.full(n_steps, -1, np.int32)
+        blk[:n_blocks] = np.arange(n_blocks, dtype=np.int32)
+        fin = np.zeros(n_steps, np.int32)
+        for b in fin_blocks:
+            fin[b] = 1
+
         vals = np.zeros((n_groups_pad * CHUNKS, LANE), np.float32)
         lo = np.zeros((n_groups_pad * CHUNKS, LANE), np.int8)
         sb = np.zeros((n_groups_pad * CHUNKS, LANE), np.int8)
         wg_arr = np.zeros(n_groups_pad, np.int64)
-        if len(g_w):
-            wg_arr[: n_groups_real] = g_w
+        if n_groups_real:
+            wg_arr[old_to_new] = g_w
+        base = (g_sup_pad[::T_BASE] * N_TB).astype(np.int32)
         if n_all:
             from ..native import fill_slots
 
-            group_of_nnz = group_start[inv] + layer
+            group_of_nnz = old_to_new[group_start[inv] + layer]
             flat = group_of_nnz * (CHUNKS * LANE) + c * LANE + lane
             fill_slots(flat, vals_src, cols64 % LANE, (pos // LANE) % N_TB,
                        vals, lo, sb)
@@ -430,18 +476,16 @@ class WindowEllPlan:
             lo=put(jnp.asarray(lo)),
             sb=put(jnp.asarray(sb)),
             wg=put(jnp.asarray(wg_arr.astype(np.int32))),
-            blk_step=put(jnp.asarray(np.asarray(blk_l, np.int32))),
-            sup_step=put(jnp.asarray(np.asarray(sup_l, np.int32))),
-            off_step=put(jnp.asarray(np.asarray(off_l, np.int32))),
-            cnt_step=put(jnp.asarray(np.asarray(cnt_l, np.int32))),
-            eoff_step=put(jnp.asarray(np.asarray(eoff_l, np.int32))),
+            base=put(jnp.asarray(base)),
+            blk_step=put(jnp.asarray(blk)),
+            fin_step=put(jnp.asarray(fin)),
             extra_to_row=put(jnp.asarray(extra_to_row.astype(np.int32))),
             num_rows=rows,
             num_cols=csr.num_cols,
             extras_base=int(extras_base),
-            n_extra=int(n_extra),
-            n_sup=int(n_sup),
+            n_extra=int(len(extra_to_row)),
             e8=int(e8),
+            out8=int(out8),
             cols_pad=cols_pad,
             step_groups=S,
             split_rows=split_rows,
@@ -454,93 +498,87 @@ def _use_interpret() -> bool:
 
 
 @functools.lru_cache(maxsize=64)
-def _build_pallas(n_steps: int, S: int, n_sup: int, cols8: int, e8: int,
-                  interpret: bool):
+def _build_pallas(n_steps: int, S: int, out8: int, cols8: int, e8: int,
+                  rows_sub: int, interpret: bool):
     T = min(T_SUB, S)
-    OB = max(8, N_TB)  # out block rows (min f32 tile is (8,128))
+    TB = min(T_BASE, T)
 
-    def kernel(wg_ref, blk_ref, sup_ref, off_ref, cnt_ref, eoff_ref,
-               x_ref, v_ref, lo_ref, sb_ref, o_ref, tab_ref):
+    def kernel(wg_ref, base_ref, blk_ref, fin_ref, x_ref, v_ref, lo_ref,
+               sb_ref, o_ref, tab_ref):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _():
-            # gather table = x followed by the extras-totals scratch
+            o_ref[:] = jnp.zeros_like(o_ref)
             tab_ref[0:cols8, :] = x_ref[:]
 
-        @pl.when(jnp.logical_or(
-            i == 0, sup_ref[i] != sup_ref[jnp.maximum(i - 1, 0)]))
+        # extras groups finished in an earlier step: publish their totals
+        # into the gather table so row groups' combine slots can read them
+        @pl.when(fin_ref[i] == 1)
         def _():
-            o_ref[:] = jnp.zeros_like(o_ref)
+            tab_ref[cols8:cols8 + e8, :] = o_ref[rows_sub:rows_sub + e8, :]
 
-        off_i = off_ref[i]
-        end_i = off_i + cnt_ref[i]
         gbase = blk_ref[i] * S
-        # group index of every slot row in a sub-tile, for edge masking
-        g_iota = jax.lax.broadcasted_iota(jnp.int32, (T * 8, LANE), 0) // 8
 
-        # iterate ONLY the live sub-tiles [off, off+cnt) — a dynamic-bound
-        # loop costs scalar-core work per live sub-tile instead of a
-        # pl.when ladder costing it for every sub-tile of every step
         def body(q, carry):
-            qs = pl.multiple_of(q * T * 8, T * 8)
-            lo_q = lo_ref[pl.ds(qs, T * 8), :].astype(jnp.int32)
-            v_q = v_ref[pl.ds(qs, T * 8), :]
+            qs = pl.multiple_of(q * T * CHUNKS, T * CHUNKS)
+            lo_q = lo_ref[pl.ds(qs, T * CHUNKS), :].astype(jnp.int32)
+            v_q = v_ref[pl.ds(qs, T * CHUNKS), :]
             # int32 for the target compares: v5e rejects i8 vector compares
-            sb_q = sb_ref[pl.ds(qs, T * 8), :].astype(jnp.int32)
+            sb_q = sb_ref[pl.ds(qs, T * CHUNKS), :].astype(jnp.int32)
             prods = []
             for t in range(T):
                 wdw = wg_ref[gbase + q * T + t]
                 table = tab_ref[
-                    pl.ds(pl.multiple_of(wdw * CHUNKS, CHUNKS), CHUNKS),
-                    :]
+                    pl.ds(pl.multiple_of(wdw * CHUNKS, CHUNKS), CHUNKS), :]
                 g = jnp.take_along_axis(table, lo_q[8 * t:8 * t + 8, :],
                                         axis=1)
                 prods.append(v_q[8 * t:8 * t + 8, :] * g)
             prod = jnp.concatenate(prods, axis=0)
-            gq = g_iota + q * T
-            live = jnp.logical_and(gq >= off_i, gq < end_i)
-            prod = jnp.where(live, prod, 0.0)
-            rows_acc = [jnp.sum(jnp.where(sb_q == t, prod, 0.0), axis=0,
-                                keepdims=True) for t in range(N_TB)]
-            if N_TB < 8:
-                rows_acc.append(jnp.zeros((8 - N_TB, LANE), jnp.float32))
-            o_ref[:] = o_ref[:] + jnp.concatenate(rows_acc, axis=0)
+            # fold by target sub-block and add at the run's dynamic base:
+            # one (8,128) read-modify-write per T_BASE groups
+            for h in range(T // TB):
+                ph = prod[TB * 8 * h:TB * 8 * (h + 1), :]
+                sh = sb_q[TB * 8 * h:TB * 8 * (h + 1), :]
+                rows_acc = [jnp.sum(jnp.where(sh == t, ph, 0.0), axis=0,
+                                    keepdims=True) for t in range(N_TB)]
+                acc = jnp.concatenate(rows_acc, axis=0)
+                dst = pl.multiple_of(
+                    base_ref[(gbase + q * T) // TB + h], N_TB)
+                o_ref[pl.ds(dst, N_TB), :] += acc
             return carry
 
-        @pl.when(cnt_ref[i] > 0)
+        @pl.when(blk_ref[i] >= 0)
         def _():
-            jax.lax.fori_loop(off_i // T, (end_i + T - 1) // T, body, 0)
-
-        # extras superblock finished: publish its totals into the scratch
-        # so later row-sup combine nonzeros can gather them like x
-        @pl.when(eoff_ref[i] >= 0)
-        def _():
-            dst = pl.multiple_of(cols8 + eoff_ref[i], 8)
-            tab_ref[pl.ds(dst, N_TB), :] = o_ref[0:N_TB, :]
+            jax.lax.fori_loop(0, S // T, body, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=4,
         grid=(n_steps,),
         in_specs=[
             pl.BlockSpec((cols8, LANE), lambda i, *m: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((S * 8, LANE), lambda i, wg, blk, *m: (blk[i], 0),
+            pl.BlockSpec((S * CHUNKS, LANE),
+                         lambda i, wg, base, blk, fin:
+                         (jnp.maximum(blk[i], 0), 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((S * 8, LANE), lambda i, wg, blk, *m: (blk[i], 0),
+            pl.BlockSpec((S * CHUNKS, LANE),
+                         lambda i, wg, base, blk, fin:
+                         (jnp.maximum(blk[i], 0), 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((S * 8, LANE), lambda i, wg, blk, *m: (blk[i], 0),
+            pl.BlockSpec((S * CHUNKS, LANE),
+                         lambda i, wg, base, blk, fin:
+                         (jnp.maximum(blk[i], 0), 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((OB, LANE),
-                               lambda i, wg, blk, sup, *m: (sup[i], 0),
+        out_specs=pl.BlockSpec((out8, LANE), lambda i, *m: (0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((cols8 + e8, LANE), jnp.float32)],
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_sup * OB, LANE), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((out8, LANE), jnp.float32),
         interpret=interpret,
     )
 
@@ -549,16 +587,14 @@ def _build_pallas(n_steps: int, S: int, n_sup: int, cols8: int, e8: int,
 def spmv_window_ell(plan: WindowEllPlan, x: jax.Array) -> jax.Array:
     """``y = A @ x`` via the window-ELL plan.  ``x`` is the unpadded operand
     (``num_cols``,); returns ``(num_rows,)``.  The extras combine runs
-    inside the kernel (scratch fold) — no host-side scatter remains."""
+    inside the kernel (table fold) — no host-side scatter remains."""
     x = jnp.asarray(x, jnp.float32)
     x_pad = jnp.pad(x, (0, plan.cols_pad - x.shape[0]))
     x2d = x_pad.reshape(plan.cols_pad // LANE, LANE)
-    fn = _build_pallas(plan.n_steps, plan.step_groups, plan.n_sup,
-                       plan.cols_pad // LANE, plan.e8, _use_interpret())
-    out = fn(plan.wg, plan.blk_step, plan.sup_step, plan.off_step,
-             plan.cnt_step, plan.eoff_step, x2d, plan.vals, plan.lo,
-             plan.sb)
-    # keep the N_TB live rows of each out block; drop the pad rows
-    OB = max(8, N_TB)
-    y_flat = out.reshape(plan.n_sup, OB, LANE)[:, :N_TB, :].reshape(-1)
-    return y_flat[: plan.num_rows]
+    rows_sub = plan.extras_base // LANE
+    fn = _build_pallas(plan.n_steps, plan.step_groups, plan.out8,
+                       plan.cols_pad // LANE, plan.e8, rows_sub,
+                       _use_interpret())
+    out = fn(plan.wg, plan.base, plan.blk_step, plan.fin_step, x2d,
+             plan.vals, plan.lo, plan.sb)
+    return out.reshape(-1)[: plan.num_rows]

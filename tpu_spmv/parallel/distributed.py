@@ -315,16 +315,12 @@ def shard_csr_packed(A: CSRMatrix, mesh: Mesh, axis_name: str = "rows",
         plans.append(WindowEllPlan.build(sub, split_rows=split_rows))
 
     # pad all plans to common leaf shapes (no-op semantics):
-    #   step arrays -> repeat the last real step with cnt=0
-    #   slot arrays -> zero slots;  wg -> zeros;  extra_to_row -> clamp pad
-    flats = [jax.tree_util.tree_flatten(p) for p in plans]
-    leaves_list = [f[0] for f in flats]
-    # unify aux: n_sup / e8 / n_extra differ per shard -> take maxima and
-    # rebuild each plan at the common sizes by padding its leaves
-    import tpu_spmv.kernels.window_ell as we
+    #   blk_step -> -1 (dead steps);  fin_step -> 0
+    #   slot arrays -> zero slots;  wg/base -> zeros;  extra_to_row -> pad
+    from ..kernels.window_ell import T_BASE
 
-    n_sup = max(p.n_sup for p in plans)
     e8 = max(p.e8 for p in plans)
+    out8 = max(p.out8 for p in plans)
     n_steps = max(p.n_steps for p in plans)
     n_grows = max(int(p.vals.shape[0]) for p in plans)
     n_wg = max(int(p.wg.shape[0]) for p in plans)
@@ -335,29 +331,28 @@ def shard_csr_packed(A: CSRMatrix, mesh: Mesh, axis_name: str = "rows",
             a = np.asarray(a)
             return np.pad(a, ((0, n - a.shape[0]), (0, 0)))
 
-        def pad_steps(a, fill):
+        def pad1(a, n, fill):
             a = np.asarray(a)
-            if len(a) == n_steps:
+            if len(a) == n:
                 return a
-            return np.concatenate(
-                [a, np.full(n_steps - len(a), fill, a.dtype)])
+            return np.concatenate([a, np.full(n - len(a), fill, a.dtype)])
 
         vals = pad2(p.vals, n_grows)
         lo = pad2(p.lo, n_grows)
         sb = pad2(p.sb, n_grows)
-        wg = np.pad(np.asarray(p.wg), (0, n_wg - p.wg.shape[0]))
-        blk = pad_steps(p.blk_step, int(np.asarray(p.blk_step)[-1]))
-        sup = pad_steps(p.sup_step, int(np.asarray(p.sup_step)[-1]))
-        off = pad_steps(p.off_step, 0)
-        cnt = pad_steps(p.cnt_step, 0)
-        eoff = pad_steps(p.eoff_step, -1)
+        wg = pad1(p.wg, n_wg, 0)
+        base = pad1(p.base, n_wg // T_BASE, 0)
+        blk = pad1(p.blk_step, n_steps, -1)
+        fin = pad1(p.fin_step, n_steps, 0)
         e2r = np.zeros(max(n_extra, 1), np.int32)
         e2r[: p.n_extra] = np.asarray(p.extra_to_row)
-        return (vals, lo, sb, wg, blk, sup, off, cnt, eoff, e2r)
+        return (vals, lo, sb, wg, base, blk, fin, e2r)
 
     stacked = [np.stack(arrs) for arrs in zip(*(pad_plan(p) for p in plans))]
     p0 = plans[0]
-    plan_aux = (rps, A.num_cols, p0.extras_base, n_extra, n_sup, e8,
+    # extras_base depends only on rps, so it is shard-invariant; e8/out8
+    # take the shard maxima (out8 = extras_base/128 + e8 stays consistent)
+    plan_aux = (rps, A.num_cols, p0.extras_base, n_extra, e8, out8,
                 p0.cols_pad, p0.step_groups, p0.split_rows, 0.0)
     leaves = tuple(
         jax.device_put(jnp.asarray(a),
@@ -378,7 +373,7 @@ def _sharded_packed_fn(mesh: Mesh, axis_name: str, plan_aux: tuple):
             plan_aux, tuple(a[0] for a in leaves))
         return spmv_window_ell(plan, x)
 
-    n_leaves = 10  # WindowEllPlan has 10 array leaves
+    n_leaves = 8  # WindowEllPlan has 8 array leaves
     mapped = shard_map(
         local,
         mesh=mesh,

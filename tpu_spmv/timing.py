@@ -46,18 +46,23 @@ def _max_iters() -> int:
 
 
 def _perturb(tree, carry):
-    """Add carry*1e-30 to the first float leaf (dependency injection)."""
+    """Add carry*1e-30 to the SMALLEST non-scalar float leaf (dependency
+    injection).  Perturbing the smallest leaf matters: the injected add
+    materializes a fresh copy of that leaf every chained iteration, so
+    targeting a large leaf (e.g. a packed plan's 100+ MB value array, the
+    first float leaf of a (plan, x) call) silently adds an O(plan-size)
+    HBM copy to every measured iteration — round-1 numbers carried ~40%
+    of such contamination on the 10M-nnz headline."""
     leaves, treedef = jax.tree_util.tree_flatten(tree)
-    done = False
-    out = []
-    for leaf in leaves:
-        if not done and hasattr(leaf, "dtype") and \
-                jnp.issubdtype(leaf.dtype, jnp.floating):
-            out.append(leaf + carry.astype(leaf.dtype) * 1e-30)
-            done = True
-        else:
-            out.append(leaf)
-    return jax.tree_util.tree_unflatten(treedef, out)
+    float_arrays = [
+        i for i, leaf in enumerate(leaves)
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating)
+        and getattr(leaf, "ndim", 0) >= 1
+    ]
+    if float_arrays:
+        tgt = min(float_arrays, key=lambda i: leaves[i].size)
+        leaves[tgt] = leaves[tgt] + carry.astype(leaves[tgt].dtype) * 1e-30
+    return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 def _probe_scalar(result) -> jax.Array:
