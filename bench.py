@@ -117,6 +117,28 @@ def main() -> int:
     except Exception as e:  # secondary metric must never sink the bench
         log(f"ELL stencil metric skipped: {e}")
 
+    # secondary metric: 1M-node web graph (the reference PageRank capacity
+    # class, requirements.md:104) through the public dispatch — wide
+    # superblocks serve the structure round 1 rejected to the flat path
+    web_gbs = 0.0
+    try:
+        from tpu_spmv.spmv import spmv_csr
+        from tpu_spmv.utils.testing import web_graph_csr
+
+        wgm = web_graph_csr(rng, 1_000_000, 1_000_000, avg_nnz=15)
+        xw = jnp.asarray(rng.vector(1_000_000))
+        t0 = time.time()
+        rweb = spmv_csr(wgm, xw, spmv_auto_config(wgm), measure=True,
+                        measure_iters=100)
+        ok_web = rweb.error_code == 0 and spmv_matches(
+            np.asarray(rweb.y), wgm, np.asarray(xw), rel_tol=1e-5)
+        web_gbs = rweb.bandwidth_gb_s
+        log(f"1M-node web graph: {rweb.elapsed_ms:.2f} ms -> "
+            f"{web_gbs:.1f} GB/s (byte model), correct={ok_web}, "
+            f"total {time.time()-t0:.0f}s")
+    except Exception as e:  # secondary metric must never sink the bench
+        log(f"web-graph metric skipped: {e}")
+
     stream_gbs = measured_stream_bandwidth(dev)
     log(f"measured STREAM: {stream_gbs:.2f} GB/s")
 
@@ -139,6 +161,7 @@ def main() -> int:
             "skewness": round(stats.skewness, 1),
             "occupancy": round(plan.occupancy, 4),
             "ell_stencil_gb_s": round(ell_gbs, 3),
+            "web_graph_1m_gb_s": round(web_gbs, 3),
             "correct": bool(ok),
         },
     }))

@@ -78,15 +78,28 @@ from ..errors import InvalidFormatError
 LANE = 128
 CHUNKS = 8            # table rows (col chunks) per window
 WINDOW = 1024         # columns per window (CHUNKS * LANE)
-SUP = 1024            # rows per superblock = 8 scatter targets (v2)
-N_TB = SUP // LANE    # masked-sum targets per superblock
+SUP = 1024            # default rows per superblock (narrow mode)
+# Candidate superblock heights.  Wider superblocks trade masked-sum
+# scatter targets (sup/128 of them) for packing density — on matrices
+# whose (1024-row x 1024-col) tiles hold only a handful of nonzeros
+# (wide sparse web graphs), a 16384-row superblock keeps cells populated
+# while the measured scatter cost (~0.3 ps/slot per target on v5e) stays
+# proportional, so cost-per-nnz is roughly target-count-invariant.
+SUP_LEVELS = (1024, 4096, 16384)
 T_SUB = 16            # groups per compute sub-tile
 T_BASE = 8            # groups sharing one scatter base (2 RMWs/sub-tile)
 SPILL_RUN = 64        # max spilled nnz absorbed per extra row
 
-# VMEM budget for (gather table + output block + x input + double-buffered
-# packed blocks); ~16 MB/core on v5e minus compiler headroom.
+# VMEM budget for (x ++ extras gather block + output block +
+# double-buffered packed blocks); ~16 MB/core on v5e minus headroom.
 VMEM_BUDGET = 13 * (1 << 20)
+# SMEM budget for the per-group scalar-prefetch tables.
+MAX_GROUPS = 180_000
+
+# cost-model constants for superblock selection (measured, v5e):
+# HBM stream ~8.3 ps/slot; masked-sum scatter per slot by target count.
+_STREAM_PS = 8.3
+_SCATTER_PS = {1024: 2.3, 4096: 14.8, 16384: 69.0}   # per sup level
 
 
 class WindowEllOverflow(InvalidFormatError):
@@ -153,6 +166,7 @@ class WindowEllPlan:
     cols_pad: int
     step_groups: int
     split_rows: int | None
+    sup: int                 # rows per superblock (scatter targets = sup/128)
     occupancy: float
 
     def tree_flatten(self):
@@ -163,7 +177,7 @@ class WindowEllPlan:
         # report occupancy 0.0)
         aux = (self.num_rows, self.num_cols, self.extras_base, self.n_extra,
                self.e8, self.out8, self.cols_pad, self.step_groups,
-               self.split_rows, 0.0)
+               self.split_rows, self.sup, 0.0)
         return leaves, aux
 
     @classmethod
@@ -182,21 +196,53 @@ class WindowEllPlan:
     def build(csr: CSRMatrix, split_rows: int | None = None,
               step_groups: int | None = None, cap_slack: int = 0,
               cap_margin: float = 0.3, spill_rounds: int = 1,
-              max_inflation: float = 64.0,
+              max_inflation: float = 64.0, sup: int | None = None,
               device=None) -> "WindowEllPlan":
         """Pack a host CSR matrix into the window-ELL layout (vectorized).
 
-        Raises :class:`WindowEllOverflow` when the layout would exceed the
-        inflation/SMEM/VMEM guards, signalling the caller to use the
-        streaming kernel instead.
+        ``sup=None`` picks the superblock height by the measured cost
+        model (see :func:`_choose_sup`) and escalates to wider superblocks
+        if the chosen one trips a guard.  Raises
+        :class:`WindowEllOverflow` when no layout fits, signalling the
+        caller to use the streaming path instead.
         """
+        if sup is not None:
+            return WindowEllPlan._build(
+                csr, split_rows, step_groups, cap_slack, cap_margin,
+                spill_rounds, max_inflation, sup, device)
+        start = _choose_sup(csr)
+        err = None
+        for s in SUP_LEVELS[SUP_LEVELS.index(start):]:
+            # wide superblocks are shallow (cap ~1); without extra slack
+            # the spill mass becomes per-row extras that blow the VMEM
+            # extras table, so trade a little occupancy for bounded spills
+            slack = max(cap_slack, 2) if s >= 4096 else cap_slack
+            try:
+                return WindowEllPlan._build(
+                    csr, split_rows, step_groups, slack, cap_margin,
+                    spill_rounds, max_inflation, s, device)
+            except WindowEllOverflow as e:
+                err = e
+        raise err
+
+    @staticmethod
+    def _build(csr: CSRMatrix, split_rows, step_groups, cap_slack,
+               cap_margin, spill_rounds, max_inflation, sup,
+               device) -> "WindowEllPlan":
+        sup_rows = sup           # scalar superblock height; ``sup`` below
+        del sup                  # is reused for per-nnz superblock ids
+        n_tb = sup_rows // LANE
         rows, nnz = csr.num_rows, csr.nnz
         cols_pad = _bucket(max(csr.num_cols, 1))
         n_windows = cols_pad // WINDOW
         if step_groups is None:
-            # 256 measured best on v5e (fewer grid steps); small steps keep
+            # 256 measured best on v5e (fewer grid steps); 128 in wide
+            # mode where the VMEM budget is tight; small steps keep
             # interpret-mode (CPU test) tracing cheap
-            step_groups = 256 if not _use_interpret() else 8
+            if _use_interpret():
+                step_groups = 8
+            else:
+                step_groups = 128 if sup_rows >= 4096 else 256
         S = step_groups
         row_len = np.diff(csr.row_ptrs).astype(np.int64)
         if nnz:
@@ -221,7 +267,8 @@ class WindowEllPlan:
                                  extras_per_row)
         # extra rows live after the real rows, SUP-aligned, in a
         # geometrically-bucketed position space (bounds kernel variants)
-        extras_base = _pad_geo(-(-max(rows, 1) // SUP), minimum=1) * SUP
+        extras_base = _pad_geo(-(-max(rows, 1) // sup_rows), minimum=1) \
+            * sup_rows
 
         if nnz:
             in_row = np.arange(nnz, dtype=np.int64) - \
@@ -243,7 +290,7 @@ class WindowEllPlan:
             when the C++ library is built."""
             from ..native import plan_derive
 
-            return plan_derive(pos, w, c, n_tab_windows, SUP)
+            return plan_derive(pos, w, c, n_tab_windows, sup_rows)
 
         n_tab_windows = n_windows  # widened after extras are known
         lane, sup, layer = derive(pos, w, c)
@@ -282,7 +329,7 @@ class WindowEllPlan:
                 n_extra += len(su)
                 lane, sup, layer = derive(pos, w, c)
         vals_src = csr.values
-        extras_sup0 = extras_base // SUP
+        extras_sup0 = extras_base // sup_rows
         lvl2_sup0 = extras_sup0
         if n_extra:
             # interleave extras by (occurrence-within-row, row): a row's
@@ -312,8 +359,8 @@ class WindowEllPlan:
             rows_w, lvl2_of_extra = np.unique(extra_to_row,
                                               return_inverse=True)
             R2 = len(rows_w)
-            lvl2_base = -(-n_extra // SUP) * SUP  # SUP-aligned after lvl1
-            lvl2_sup0 = extras_sup0 + lvl2_base // SUP
+            lvl2_base = -(-n_extra // sup_rows) * sup_rows
+            lvl2_sup0 = extras_sup0 + lvl2_base // sup_rows
             pos_l2 = extras_base + lvl2_base + lvl2_of_extra
             cols_l2 = cols_pad + np.arange(n_extra, dtype=np.int64)
             pos_fin = rows_w
@@ -330,7 +377,8 @@ class WindowEllPlan:
             n_extra_pos = 0
         # gather-table sublanes for extras totals (pow2-bucketed to bound
         # the compiled-variant count)
-        e8 = _pad_pow2(max(-(-n_extra_pos // SUP), 1)) * N_TB
+        e8 = _pad_geo(max(-(-n_extra_pos // sup_rows), 1), minimum=1) \
+            * n_tb
         n_tab_windows = n_windows + e8 // CHUNKS
         n_all = len(pos)
         if n_all:
@@ -434,13 +482,13 @@ class WindowEllPlan:
                 f"(inflation {slots / nnz:.1f}x > {max_inflation}x)")
         # per-group window/base indices are scalar-prefetched into SMEM
         # (~1 MB); refuse plans whose prefetch would not fit
-        if n_groups_pad > 180_000:
+        if n_groups_pad > MAX_GROUPS:
             raise WindowEllOverflow(
                 f"window-ELL plan needs {n_groups_pad} groups; the "
                 f"per-group window table would exceed SMEM")
         out8 = extras_base // LANE + e8
         cols8 = cols_pad // LANE
-        vmem_bytes = (cols8 + e8 + out8 + cols8) * LANE * 4 \
+        vmem_bytes = (cols8 + e8 + out8) * LANE * 4 \
             + 2 * S * CHUNKS * LANE * 6
         if vmem_bytes > VMEM_BUDGET:
             raise WindowEllOverflow(
@@ -460,13 +508,13 @@ class WindowEllPlan:
         wg_arr = np.zeros(n_groups_pad, np.int64)
         if n_groups_real:
             wg_arr[old_to_new] = g_w
-        base = (g_sup_pad[::T_BASE] * N_TB).astype(np.int32)
+        base = (g_sup_pad[::T_BASE] * n_tb).astype(np.int32)
         if n_all:
             from ..native import fill_slots
 
             group_of_nnz = old_to_new[group_start[inv] + layer]
             flat = group_of_nnz * (CHUNKS * LANE) + c * LANE + lane
-            fill_slots(flat, vals_src, cols64 % LANE, (pos // LANE) % N_TB,
+            fill_slots(flat, vals_src, cols64 % LANE, (pos // LANE) % n_tb,
                        vals, lo, sb)
 
         put = (lambda a: jax.device_put(a, device)) if device is not None \
@@ -489,6 +537,7 @@ class WindowEllPlan:
             cols_pad=cols_pad,
             step_groups=S,
             split_rows=split_rows,
+            sup=sup_rows,
             occupancy=float(nnz / slots) if slots else 0.0,
         )
 
@@ -497,26 +546,82 @@ def _use_interpret() -> bool:
     return jax.devices()[0].platform != "tpu"
 
 
+def _choose_sup(csr: CSRMatrix) -> int:
+    """Pick the superblock height by the measured cost model.
+
+    For each candidate, estimate streamed slots (bucket-capped groups plus
+    an extras-region term for the spilled mass) and score them at the
+    measured per-slot rates (HBM stream + per-target masked-sum scatter).
+    Candidates whose group count would blow the SMEM prefetch budget are
+    skipped.
+    """
+    nnz = csr.nnz
+    if nnz == 0:
+        return SUP_LEVELS[0]
+    cols_pad = _bucket(max(csr.num_cols, 1))
+    n_windows = cols_pad // WINDOW
+    n_sups0 = -(-max(csr.num_rows, 1) // SUP_LEVELS[0])
+    # short-circuit: when narrow (1024-row) buckets are already deep, the
+    # narrow mode always wins (wider superblocks only add scatter targets)
+    if nnz / (n_sups0 * n_windows * (CHUNKS * LANE)) >= 8.0:
+        return SUP_LEVELS[0]
+    # sample the nnz for the full model (mode choice only needs relative
+    # costs; group counts are re-scaled by the stride)
+    stride = max(nnz // 2_000_000, 1)
+    rows_of = np.repeat(np.arange(csr.num_rows, dtype=np.int64),
+                        np.diff(csr.row_ptrs).astype(np.int64))[::stride]
+    cols64 = csr.col_indices[::stride].astype(np.int64)
+    w = cols64 // WINDOW
+    lane = rows_of % LANE
+    c = (cols64 // LANE) % CHUNKS
+    best, best_cost = None, None
+    for s in SUP_LEVELS:
+        n_tb = s // LANE
+        bucket = (rows_of // s) * n_windows + w
+        cell = bucket * (CHUNKS * LANE) + c * LANE + lane
+        layer = _cumcount(cell)
+        ub, binv, bcnt = _unique_ic(bucket)
+        cap = np.maximum(
+            -(-(bcnt + (bcnt * 0.3).astype(np.int64)) // (CHUNKS * LANE)),
+            -(-bcnt // (CHUNKS * LANE)))
+        lmax = np.zeros(len(ub), np.int64)
+        np.maximum.at(lmax, binv, layer + 1)
+        spilled = int((layer >= cap[binv]).sum())
+        groups = (int(np.minimum(lmax, cap).sum())
+                  + -(-spilled // (LANE * CHUNKS // 3))) * stride
+        slots = groups * CHUNKS * LANE
+        # mirror the build-time guards: SMEM prefetch and inflation
+        if groups > MAX_GROUPS or (slots > 64.0 * nnz and slots > (1 << 22)):
+            continue
+        cost = groups * (_STREAM_PS + _SCATTER_PS[s])
+        if best_cost is None or cost < best_cost:
+            best, best_cost = s, cost
+    return best if best is not None else SUP_LEVELS[-1]
+
+
 @functools.lru_cache(maxsize=64)
 def _build_pallas(n_steps: int, S: int, out8: int, cols8: int, e8: int,
-                  rows_sub: int, interpret: bool):
+                  rows_sub: int, n_tb: int, interpret: bool):
     T = min(T_SUB, S)
     TB = min(T_BASE, T)
 
     def kernel(wg_ref, base_ref, blk_ref, fin_ref, x_ref, v_ref, lo_ref,
-               sb_ref, o_ref, tab_ref):
+               sb_ref, o_ref):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _():
             o_ref[:] = jnp.zeros_like(o_ref)
-            tab_ref[0:cols8, :] = x_ref[:]
 
         # extras groups finished in an earlier step: publish their totals
-        # into the gather table so row groups' combine slots can read them
+        # into the gather block (x_ref carries an extras-table region after
+        # x; Pallas input blocks are mutable VMEM, and the constant index
+        # map means the block is fetched once, so the write persists for
+        # all later steps) — row groups' combine slots then read them
+        # exactly like x entries
         @pl.when(fin_ref[i] == 1)
         def _():
-            tab_ref[cols8:cols8 + e8, :] = o_ref[rows_sub:rows_sub + e8, :]
+            x_ref[cols8:cols8 + e8, :] = o_ref[rows_sub:rows_sub + e8, :]
 
         gbase = blk_ref[i] * S
 
@@ -529,23 +634,23 @@ def _build_pallas(n_steps: int, S: int, out8: int, cols8: int, e8: int,
             prods = []
             for t in range(T):
                 wdw = wg_ref[gbase + q * T + t]
-                table = tab_ref[
+                table = x_ref[
                     pl.ds(pl.multiple_of(wdw * CHUNKS, CHUNKS), CHUNKS), :]
                 g = jnp.take_along_axis(table, lo_q[8 * t:8 * t + 8, :],
                                         axis=1)
                 prods.append(v_q[8 * t:8 * t + 8, :] * g)
             prod = jnp.concatenate(prods, axis=0)
             # fold by target sub-block and add at the run's dynamic base:
-            # one (8,128) read-modify-write per T_BASE groups
+            # one (n_tb,128) read-modify-write per T_BASE groups
             for h in range(T // TB):
                 ph = prod[TB * 8 * h:TB * 8 * (h + 1), :]
                 sh = sb_q[TB * 8 * h:TB * 8 * (h + 1), :]
                 rows_acc = [jnp.sum(jnp.where(sh == t, ph, 0.0), axis=0,
-                                    keepdims=True) for t in range(N_TB)]
+                                    keepdims=True) for t in range(n_tb)]
                 acc = jnp.concatenate(rows_acc, axis=0)
                 dst = pl.multiple_of(
-                    base_ref[(gbase + q * T) // TB + h], N_TB)
-                o_ref[pl.ds(dst, N_TB), :] += acc
+                    base_ref[(gbase + q * T) // TB + h], n_tb)
+                o_ref[pl.ds(dst, n_tb), :] += acc
             return carry
 
         @pl.when(blk_ref[i] >= 0)
@@ -556,7 +661,7 @@ def _build_pallas(n_steps: int, S: int, out8: int, cols8: int, e8: int,
         num_scalar_prefetch=4,
         grid=(n_steps,),
         in_specs=[
-            pl.BlockSpec((cols8, LANE), lambda i, *m: (0, 0),
+            pl.BlockSpec((cols8 + e8, LANE), lambda i, *m: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((S * CHUNKS, LANE),
                          lambda i, wg, base, blk, fin:
@@ -573,7 +678,6 @@ def _build_pallas(n_steps: int, S: int, out8: int, cols8: int, e8: int,
         ],
         out_specs=pl.BlockSpec((out8, LANE), lambda i, *m: (0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((cols8 + e8, LANE), jnp.float32)],
     )
     return pl.pallas_call(
         kernel,
@@ -589,12 +693,128 @@ def spmv_window_ell(plan: WindowEllPlan, x: jax.Array) -> jax.Array:
     (``num_cols``,); returns ``(num_rows,)``.  The extras combine runs
     inside the kernel (table fold) — no host-side scatter remains."""
     x = jnp.asarray(x, jnp.float32)
-    x_pad = jnp.pad(x, (0, plan.cols_pad - x.shape[0]))
-    x2d = x_pad.reshape(plan.cols_pad // LANE, LANE)
+    # the gather block = padded x followed by the extras-totals region
+    x_pad = jnp.pad(x, (0, plan.cols_pad + plan.e8 * LANE - x.shape[0]))
+    x2d = x_pad.reshape(plan.cols_pad // LANE + plan.e8, LANE)
     rows_sub = plan.extras_base // LANE
     fn = _build_pallas(plan.n_steps, plan.step_groups, plan.out8,
                        plan.cols_pad // LANE, plan.e8, rows_sub,
-                       _use_interpret())
+                       plan.sup // LANE, _use_interpret())
     out = fn(plan.wg, plan.base, plan.blk_step, plan.fin_step, x2d,
              plan.vals, plan.lo, plan.sb)
     return out.reshape(-1)[: plan.num_rows]
+
+
+# ---- composite plans: cap-and-respill across levels (wide matrices) ----
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class CompositePlan:
+    """A stack of window-ELL plans plus a flat remainder.
+
+    Wide sparse matrices (e.g. 1M-node web graphs) pack poorly as ONE
+    plan: shallow (superblock, window) buckets leave most slots empty
+    because a bucket needs max-cell-depth layers.  Instead each level
+    keeps only the FIRST layer of every cell (near-uniform depth, dense
+    groups) and the over-depth mass is re-packed as the next level's
+    matrix; the last few stray nonzeros run on the flat XLA path.
+    ``y = Σ level_i(x) + flat(tail, x)`` — deterministic, order fixed.
+    """
+
+    plans: tuple             # WindowEllPlan per level
+    tail: object | None     # DeviceCSR remainder (flat path) or None
+    num_rows: int
+    num_cols: int
+
+    def tree_flatten(self):
+        return ((self.plans, self.tail), (self.num_rows, self.num_cols))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(tuple(children[0]), children[1], *aux)
+
+    @property
+    def occupancy(self) -> float:
+        tot = sum(p.n_groups * CHUNKS * LANE for p in self.plans)
+        nnz = sum(float(p.occupancy) * p.n_groups * CHUNKS * LANE
+                  for p in self.plans)
+        return nnz / tot if tot else 0.0
+
+
+def _subset_csr(csr: CSRMatrix, rows_of: np.ndarray,
+                mask: np.ndarray) -> CSRMatrix:
+    """A same-shape CSR holding only the masked nonzeros."""
+    rr = rows_of[mask]
+    ptr = np.zeros(csr.num_rows + 1, np.int32)
+    np.cumsum(np.bincount(rr, minlength=csr.num_rows), out=ptr[1:])
+    return CSRMatrix(csr.num_rows, csr.num_cols, csr.values[mask],
+                     csr.col_indices[mask], ptr)
+
+
+def build_composite(csr: CSRMatrix, step_groups: int | None = None,
+                    max_levels: int = 3, device=None) -> CompositePlan:
+    """Build the multi-level composite layout (see :class:`CompositePlan`).
+
+    Each level's superblock height comes from the cost model on what is
+    left; a level keeps one layer per (superblock, window, chunk, lane)
+    cell and passes the rest down.  Row splitting is unnecessary here:
+    wide superblocks spread even very long rows across windows/chunks.
+    """
+    plans = []
+    rem = csr
+    for _ in range(max_levels):
+        s = _choose_sup(rem)
+        if s == SUP_LEVELS[0]:
+            # dense enough for an ordinary narrow plan — final level
+            try:
+                plans.append(WindowEllPlan.build(
+                    rem, split_rows=None, step_groups=step_groups, sup=s,
+                    device=device))
+                rem = None
+            except WindowEllOverflow:
+                pass                  # remainder to the flat tail
+            break
+        cols_pad = _bucket(max(rem.num_cols, 1))
+        n_windows = cols_pad // WINDOW
+        rows_of = np.repeat(np.arange(rem.num_rows, dtype=np.int64),
+                            np.diff(rem.row_ptrs).astype(np.int64))
+        cols64 = rem.col_indices.astype(np.int64)
+        cell = (((rows_of // s) * n_windows + cols64 // WINDOW)
+                * (CHUNKS * LANE)
+                + ((cols64 // LANE) % CHUNKS) * LANE + rows_of % LANE)
+        keep = _cumcount(cell) < 1
+        kept = _subset_csr(rem, rows_of, keep)
+        try:
+            plans.append(WindowEllPlan.build(
+                kept, split_rows=None, step_groups=step_groups, sup=s,
+                cap_slack=2, device=device))
+        except WindowEllOverflow:
+            break                     # whole remainder to the flat tail
+        n_spill = int((~keep).sum())
+        if n_spill == 0:
+            rem = None
+            break
+        rem = _subset_csr(rem, rows_of, ~keep)
+    if not plans:
+        raise WindowEllOverflow(
+            "no composite level packs this structure")
+    tail = rem.to_device(device) if rem is not None and rem.nnz else None
+    return CompositePlan(plans=tuple(plans), tail=tail,
+                         num_rows=csr.num_rows, num_cols=csr.num_cols)
+
+
+@jax.jit
+def spmv_composite(cp: CompositePlan, x: jax.Array) -> jax.Array:
+    """``y = A @ x`` over a composite plan: sum of the level kernels plus
+    the flat remainder."""
+    x = jnp.asarray(x, jnp.float32)
+    y = spmv_window_ell(cp.plans[0], x)
+    for p in cp.plans[1:]:
+        y = y + spmv_window_ell(p, x)
+    if cp.tail is not None:
+        from .scalar import pad_x, spmv_csr_scalar
+
+        y = y + spmv_csr_scalar(
+            cp.tail, pad_x(x, _bucket(max(cp.tail.num_cols, 1))),
+        )[: cp.num_rows]
+    return y

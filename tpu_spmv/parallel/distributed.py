@@ -296,13 +296,16 @@ def shard_csr_packed(A: CSRMatrix, mesh: Mesh, axis_name: str = "rows",
     planner.  Raises :class:`WindowEllOverflow` (propagated) if any shard's
     structure rejects the packed layout — callers fall back to
     :func:`shard_csr` + the flat path."""
-    from ..kernels.window_ell import WindowEllPlan
+    from ..kernels.window_ell import WindowEllPlan, _choose_sup
 
     n_shards = int(mesh.shape[axis_name])
     rows = A.num_rows
     rps = max(-(-max(rows, 1) // n_shards), 1)
     bounds = np.minimum(np.arange(n_shards + 1) * rps, rows)
     ptr = A.row_ptrs
+    # the superblock height is part of the kernel's static signature, so
+    # pick it once from the whole matrix and build every shard with it
+    sup = _choose_sup(A)
     plans = []
     for d in range(n_shards):
         r0, r1 = int(bounds[d]), int(bounds[d + 1])
@@ -312,7 +315,8 @@ def shard_csr_packed(A: CSRMatrix, mesh: Mesh, axis_name: str = "rows",
         local_ptr[r1 - r0 + 1:] = local_ptr[r1 - r0]
         sub = CSRMatrix(rps, A.num_cols, A.values[lo:hi],
                         A.col_indices[lo:hi], local_ptr)
-        plans.append(WindowEllPlan.build(sub, split_rows=split_rows))
+        plans.append(WindowEllPlan.build(sub, split_rows=split_rows,
+                                         sup=sup))
 
     # pad all plans to common leaf shapes (no-op semantics):
     #   blk_step -> -1 (dead steps);  fin_step -> 0
@@ -353,7 +357,7 @@ def shard_csr_packed(A: CSRMatrix, mesh: Mesh, axis_name: str = "rows",
     # extras_base depends only on rps, so it is shard-invariant; e8/out8
     # take the shard maxima (out8 = extras_base/128 + e8 stays consistent)
     plan_aux = (rps, A.num_cols, p0.extras_base, n_extra, e8, out8,
-                p0.cols_pad, p0.step_groups, p0.split_rows, 0.0)
+                p0.cols_pad, p0.step_groups, p0.split_rows, p0.sup, 0.0)
     leaves = tuple(
         jax.device_put(jnp.asarray(a),
                        NamedSharding(mesh, P(axis_name,

@@ -40,15 +40,16 @@ from .kernels.ell_kernel import spmv_ell_device
 from .kernels.scalar import pad_x, spmv_csr_scalar
 from .kernels.window_ell import WindowEllOverflow, WindowEllPlan, spmv_window_ell
 
-# Largest num_cols whose padded x window-table fits comfortably in VMEM
-# (the analog of the reference's texture-size practicality limit).  The
-# kernel holds TWO copies of padded x (the input block plus the gather
-# table scratch that also carries the extras totals), so the cap is
-# 2^20 cols = 2 x 4 MB out of ~16 MB/core VMEM, leaving room for the
-# double-buffered packed blocks and the output block.  Resource failures
-# past the cap are additionally caught at dispatch and retried on the
-# streaming path (see ``_EXEC_ERRORS`` handling below).
+# Largest num_cols whose padded x gather block fits comfortably in VMEM
+# (the analog of the reference's texture-size practicality limit): x is
+# held once (4 B/col) alongside the output block and the double-buffered
+# packed streams within ~16 MB/core.  Resource failures past the cap are
+# additionally caught at dispatch and retried on the streaming path (see
+# ``_EXEC_ERRORS`` handling below).
 VMEM_X_MAX_COLS = 1 << 20
+# The composite (multi-level) packed path tolerates wider x because its
+# plans hold no extras table; the plan-time VMEM guard has the final say.
+PACKED_MAX_COLS = 1 << 21
 
 # merge-path row-splitting granularity: rows longer than this are
 # stride-split into extra rows (the TPU analog of the reference's
@@ -111,16 +112,37 @@ def spmv_validate_dimensions(num_cols: int, vec_size: int) -> bool:
 
 
 def _plan_for(A: CSRMatrix, kernel_type: KernelType,
-              step_groups: int | None) -> WindowEllPlan:
+              step_groups: int | None):
+    """Resolve (kernel_fn, plan) for the packed path.
+
+    Dense-enough matrices get a single narrow-superblock plan; wide
+    sparse ones (where the cost model picks a wide superblock) get the
+    multi-level composite layout (see ``window_ell.CompositePlan``)."""
+    from .kernels.window_ell import (
+        SUP_LEVELS, _choose_sup, build_composite, spmv_composite)
+
     key = (int(kernel_type), step_groups)
-    plan = A._plan_cache.get(key)
-    if plan is None:
+    if key not in A._plan_cache:
         split = MERGE_SPLIT_ROWS if kernel_type == KernelType.MERGE_PATH \
             else None
-        plan = WindowEllPlan.build(A, step_groups=step_groups,
-                                   split_rows=split)
-        A._plan_cache[key] = plan
-    return plan
+        if A.num_cols <= VMEM_X_MAX_COLS:
+            s = _choose_sup(A)
+            # row splitting only matters for narrow superblocks — wide
+            # ones spread even very long rows across windows and chunks
+            split = split if s == SUP_LEVELS[0] else None
+            try:
+                A._plan_cache[key] = (
+                    spmv_window_ell,
+                    WindowEllPlan.build(A, step_groups=step_groups,
+                                        split_rows=split))
+                return A._plan_cache[key]
+            except WindowEllOverflow:
+                pass
+        # x wider than one resident block, or the single plan overflowed:
+        # the multi-level composite splits the mass across plans
+        A._plan_cache[key] = (
+            spmv_composite, build_composite(A, step_groups=step_groups))
+    return A._plan_cache[key]
 
 
 # Errors that indicate the compiled kernel itself failed (Mosaic lowering,
@@ -187,7 +209,7 @@ def spmv_csr(A: CSRMatrix | None, x, config: SpMVConfig | None = None,
         # structure too adversarial for the packed layout → scalar fallback
         fn, args = _resolve_csr_kernel(A, KernelType.SCALAR_CSR, config)
 
-    was_packed = fn is spmv_window_ell
+    was_packed = fn is not _scalar_entry
     result.y, fn, args, err = _run_with_fallback(A, fn, args, x, was_packed)
     if err:
         result.error_code = err
@@ -210,9 +232,9 @@ def _resolve_csr_kernel(A: CSRMatrix, kernel_type: KernelType,
                         config: SpMVConfig):
     """Pick the jitted kernel callable + its bound matrix argument."""
     if kernel_type in (KernelType.VECTOR_CSR, KernelType.MERGE_PATH) \
-            and config.use_vmem_x and A.num_cols <= VMEM_X_MAX_COLS:
-        plan = _plan_for(A, kernel_type, config.step_groups)
-        return spmv_window_ell, (plan,)
+            and config.use_vmem_x and A.num_cols <= PACKED_MAX_COLS:
+        fn, plan = _plan_for(A, kernel_type, config.step_groups)
+        return fn, (plan,)
     # SCALAR_CSR, ELL_KERNEL-on-CSR, use_vmem_x opt-out, or cols too
     # large for VMEM residency
     return _scalar_entry, (A.to_device(),)
