@@ -30,6 +30,8 @@ def main(argv=None):
     p.add_argument("--cpu-devices", type=int, default=0,
                    help="force an N-device virtual CPU mesh (functional)")
     p.add_argument("--json", action="store_true")
+    p.add_argument("--out", type=str, default=None,
+                   help="also write the JSON rows to this file")
     args = p.parse_args(argv)
 
     import jax
@@ -73,12 +75,29 @@ def main(argv=None):
         if base is None:
             base = nnz_s
         eff = nnz_s / (base * d)
+        imb = sharded.nnz_imbalance
+        # work-balance efficiency: mean/max per-shard nnz — the upper
+        # bound a step-synchronized mesh can reach, and the number the
+        # nnz-balanced partitioner controls.  Wall-clock efficiency on
+        # the VIRTUAL CPU mesh under-reads badly because the single-
+        # process CPU backend serializes shard execution; on real
+        # multi-chip ICI the wall-clock column is the one that counts.
+        balance = 1.0 / (1.0 + imb)
         rows_out.append({"devices": d, "gnnz_per_s": nnz_s / 1e9,
-                         "efficiency": eff, "correct": bool(ok)})
+                         "efficiency_wall": eff,
+                         "efficiency_balance": balance,
+                         "nnz_imbalance": imb,
+                         "correct": bool(ok)})
         print(f"  {d:2d} dev: {secs*1e6:9.1f} us  {nnz_s/1e9:7.2f} Gnnz/s  "
-              f"eff {eff:5.2f}  correct={ok}", file=sys.stderr)
+              f"eff(wall) {eff:5.2f}  eff(balance) {balance:5.2f}  "
+              f"imbalance {imb:5.1%}  correct={ok}", file=sys.stderr)
     if args.json:
         print(json.dumps(rows_out))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"platform": jax.devices()[0].device_kind,
+                       "rows": args.rows, "nnz": csr.nnz,
+                       "results": rows_out}, f, indent=1)
     return 0
 
 

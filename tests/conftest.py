@@ -27,7 +27,7 @@ from tpu_spmv.utils.testing import RandomGenerator  # noqa: E402
 # properties, 50 for benchmark/pagerank; device-path tests are reduced by
 # default because interpret-mode Pallas recompiles per shape bucket).
 PROP_ITERS = int(os.environ.get("TPU_SPMV_PROP_ITERS", "100"))
-DEVICE_PROP_ITERS = int(os.environ.get("TPU_SPMV_DEVICE_PROP_ITERS", "10"))
+DEVICE_PROP_ITERS = int(os.environ.get("TPU_SPMV_DEVICE_PROP_ITERS", "25"))
 
 
 @pytest.fixture

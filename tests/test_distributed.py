@@ -147,3 +147,34 @@ class TestPackedSharding:
         assert dist.converged
         np.testing.assert_allclose(dist.ranks_host(), single.ranks_host(),
                                    rtol=1e-4, atol=1e-7)
+
+
+class TestBalancedSharding:
+    """Round-2: nnz-balanced row partitioning (VERDICT Weak #5)."""
+
+    def test_power_law_imbalance_under_10_percent(self, rng):
+        csr = rng.power_law_csr(4096, 512, avg_nnz=16, alpha=1.6)
+        mesh = make_row_mesh(4)
+        sharded = shard_csr(csr, mesh)
+        assert sharded.nnz_imbalance < 0.10
+        x = rng.vector(512)
+        y = np.asarray(spmv_csr_sharded(sharded, x, mesh))
+        assert spmv_matches(y, csr, x, rel_tol=1e-5)
+
+    def test_packed_sharding_balanced_and_correct(self, rng):
+        csr = rng.power_law_csr(8192, 1024, avg_nnz=12, alpha=1.6)
+        mesh = make_row_mesh(4)
+        from tpu_spmv.parallel import shard_csr_packed, spmv_csr_sharded_packed
+
+        sp = shard_csr_packed(csr, mesh)
+        assert sp.nnz_imbalance < 0.10
+        x = rng.vector(1024)
+        y = np.asarray(spmv_csr_sharded_packed(sp, x, mesh))
+        assert spmv_matches(y, csr, x, rel_tol=1e-5)
+
+    def test_init_distributed_single_process_noop(self, monkeypatch):
+        from tpu_spmv.parallel import init_distributed
+
+        monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+        monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+        init_distributed()  # must not raise or try to reach a coordinator

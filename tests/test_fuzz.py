@@ -33,17 +33,24 @@ def _matrix(rng, kind, rows, cols):
 def test_packer_fuzz(rng):
     r = rng.rng
     tested = 0
-    for trial in range(15):
+    for trial in range(40):
         kind = int(r.integers(0, 5))
-        rows = int(r.integers(1, 1200))
-        cols = int(r.integers(1, 2500))
+        # ~half the trials cross superblock (rows > 2048) and window
+        # (cols > 1024) boundaries — the configs round 1 under-covered
+        if trial % 2 == 0:
+            rows = int(r.integers(2049, 6000))
+            cols = int(r.integers(1025, 5000))
+        else:
+            rows = int(r.integers(1, 1200))
+            cols = int(r.integers(1, 2500))
         csr = _matrix(r, kind, rows, cols)
         split = [None, 32, 128][int(r.integers(0, 3))]
         try:
             plan = WindowEllPlan.build(
                 csr, split_rows=split,
                 spill_rounds=int(r.integers(1, 4)),
-                cap_margin=float(r.uniform(0.1, 0.6)))
+                cap_margin=float(r.uniform(0.1, 0.6)),
+                sup=[None, 1024, 4096][int(r.integers(0, 3))])
         except WindowEllOverflow:
             continue
         tested += 1
@@ -51,4 +58,25 @@ def test_packer_fuzz(rng):
         y = np.asarray(spmv_window_ell(plan, x))
         assert spmv_matches(y, csr, x, rel_tol=1e-5), \
             (trial, kind, rows, cols, split)
-    assert tested >= 5
+    assert tested >= 20
+
+
+def test_packer_fuzz_tpu_step_width(rng):
+    """The production TPU step width (step_groups=128) under interpret
+    mode, on shapes crossing the superblock/window/block boundaries —
+    round 1 exercised this config only through bench.py (VERDICT
+    'Reference-parity test intensity')."""
+    r = rng.rng
+    for trial in range(6):
+        rows = int(r.integers(2500, 9000))
+        cols = int(r.integers(1100, 4200))
+        kind = int(r.integers(0, 5))
+        csr = _matrix(r, kind, rows, cols)
+        try:
+            plan = WindowEllPlan.build(csr, split_rows=128,
+                                       step_groups=128)
+        except WindowEllOverflow:
+            continue
+        x = r.uniform(-3, 3, cols).astype(np.float32)
+        y = np.asarray(spmv_window_ell(plan, x))
+        assert spmv_matches(y, csr, x, rel_tol=1e-5), (trial, rows, cols)

@@ -51,11 +51,19 @@ class TestProperty8DeviceVsCPU:
 
     @pytest.mark.parametrize("kernel_type", ALL_CSR_KERNELS)
     def test_csr_kernels(self, rng, kernel_type):
-        for _ in range(DEVICE_PROP_ITERS):
-            rows = rng.uniform_int(1, 80)
-            cols = rng.uniform_int(1, 80)
-            dense = rng.dense_matrix(rows, cols, rng.uniform(0.05, 0.5))
-            csr = csr_from_dense(dense)
+        for it in range(DEVICE_PROP_ITERS):
+            if it % 5 == 4:
+                # cross the superblock/window/block boundaries
+                # (rows > 2048, cols > 1024) that small dims never touch
+                rows = rng.uniform_int(2049, 5000)
+                cols = rng.uniform_int(1025, 3000)
+                csr = rng.power_law_csr(rows, cols, avg_nnz=4.0)
+            else:
+                rows = rng.uniform_int(1, 80)
+                cols = rng.uniform_int(1, 80)
+                dense = rng.dense_matrix(rows, cols,
+                                         rng.uniform(0.05, 0.5))
+                csr = csr_from_dense(dense)
             x = rng.vector(cols)
             cfg = SpMVConfig(kernel_type=kernel_type)
             res = spmv_csr(csr, x, cfg)

@@ -23,6 +23,19 @@ if os.path.exists(_LIB_PATH) and not os.environ.get("TPU_SPMV_NO_NATIVE"):
         _lib.cumcount_i64.argtypes = [
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64)]
+        _lib.cumcount_bounded_i64.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64)]
+        _lib.plan_derive_bounded_i64.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
+        _lib.unique_ic_bounded_i64.restype = ctypes.c_int64
+        _lib.unique_ic_bounded_i64.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64)]
         _lib.plan_derive_i64.argtypes = [
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
@@ -56,7 +69,9 @@ if os.path.exists(_LIB_PATH) and not os.environ.get("TPU_SPMV_NO_NATIVE"):
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float)]
         _lib.mtx_close.argtypes = [ctypes.c_void_p]
-    except OSError:
+    except (OSError, AttributeError):
+        # missing library or stale .so lacking newer symbols: rebuild via
+        # `python -m tpu_spmv.native.build`; NumPy fallbacks serve meanwhile
         _lib = None
 
 
@@ -68,14 +83,26 @@ def _p(arr, ctype):
     return arr.ctypes.data_as(ctypes.POINTER(ctype))
 
 
+# Direct-addressed counters beat the hash passes whenever the key space
+# fits a cache-friendly array (the planner keys are dense products of
+# superblock/window/chunk/lane counts); above this budget fall back to
+# the hash versions.
+_DIRECT_KEYS_MAX = 1 << 27
+
+
 def cumcount(keys: np.ndarray) -> np.ndarray:
     """Occurrence index of each element within its key group."""
     keys = np.ascontiguousarray(keys, np.int64)
     n = len(keys)
     if _lib is not None and n:
         out = np.empty(n, np.int64)
-        _lib.cumcount_i64(_p(keys, ctypes.c_int64), n,
-                          _p(out, ctypes.c_int64))
+        kmax = int(keys.max())
+        if 0 <= int(keys.min()) and kmax < _DIRECT_KEYS_MAX:
+            _lib.cumcount_bounded_i64(_p(keys, ctypes.c_int64), n,
+                                      kmax + 1, _p(out, ctypes.c_int64))
+        else:
+            _lib.cumcount_i64(_p(keys, ctypes.c_int64), n,
+                              _p(out, ctypes.c_int64))
         return out
     # NumPy fallback: stable argsort + run decomposition
     if n == 0:
@@ -208,11 +235,19 @@ def plan_derive(pos: np.ndarray, w: np.ndarray, c: np.ndarray,
         lane = np.empty(n, np.int64)
         sup = np.empty(n, np.int64)
         layer = np.empty(n, np.int64)
-        _lib.plan_derive_i64(_p(pos, ctypes.c_int64), _p(w, ctypes.c_int64),
-                             _p(c, ctypes.c_int64), n, n_windows, sup_rows,
-                             _p(lane, ctypes.c_int64),
-                             _p(sup, ctypes.c_int64),
-                             _p(layer, ctypes.c_int64))
+        key_space = ((int(pos.max()) // sup_rows + 1) * n_windows) * 1024
+        if key_space < _DIRECT_KEYS_MAX and int(pos.min()) >= 0:
+            _lib.plan_derive_bounded_i64(
+                _p(pos, ctypes.c_int64), _p(w, ctypes.c_int64),
+                _p(c, ctypes.c_int64), n, n_windows, sup_rows, key_space,
+                _p(lane, ctypes.c_int64), _p(sup, ctypes.c_int64),
+                _p(layer, ctypes.c_int64))
+        else:
+            _lib.plan_derive_i64(
+                _p(pos, ctypes.c_int64), _p(w, ctypes.c_int64),
+                _p(c, ctypes.c_int64), n, n_windows, sup_rows,
+                _p(lane, ctypes.c_int64), _p(sup, ctypes.c_int64),
+                _p(layer, ctypes.c_int64))
         return lane, sup, layer
     lane = pos % 128
     sup = pos // sup_rows
@@ -229,9 +264,16 @@ def unique_inverse_counts(keys: np.ndarray):
         uniq = np.empty(n, np.int64)
         inv = np.empty(n, np.int64)
         counts = np.empty(n, np.int64)
-        m = _lib.unique_inverse_counts_i64(
-            _p(keys, ctypes.c_int64), n, _p(uniq, ctypes.c_int64),
-            _p(inv, ctypes.c_int64), _p(counts, ctypes.c_int64))
+        kmax = int(keys.max())
+        if 0 <= int(keys.min()) and kmax < _DIRECT_KEYS_MAX:
+            m = _lib.unique_ic_bounded_i64(
+                _p(keys, ctypes.c_int64), n, kmax + 1,
+                _p(uniq, ctypes.c_int64), _p(inv, ctypes.c_int64),
+                _p(counts, ctypes.c_int64))
+        else:
+            m = _lib.unique_inverse_counts_i64(
+                _p(keys, ctypes.c_int64), n, _p(uniq, ctypes.c_int64),
+                _p(inv, ctypes.c_int64), _p(counts, ctypes.c_int64))
         return uniq[:m].copy(), inv, counts[:m].copy()
     return np.unique(keys, return_inverse=True, return_counts=True)
 

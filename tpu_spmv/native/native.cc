@@ -22,6 +22,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <algorithm>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -80,6 +81,100 @@ void plan_derive_i64(const int64_t* pos, const int64_t* w, const int64_t* c,
     int64_t cell = ((s * n_windows + w[i]) * 8 + c[i]) * 128 + l;
     layer[i] = h.slot(cell)++;
   }
+}
+
+// Bounded variants: when the caller knows the key space is small
+// (the planner's bucket/cell keys are dense products of superblock,
+// window, chunk, lane counts), direct-addressed counter arrays replace
+// the hash table — the hash version's tables span 2n slots (hundreds of
+// MB for 10M-nnz plans) and every probe is a DRAM miss (~190 ns/elem
+// measured); the direct arrays fit cache-friendly working sets.
+
+// Deterministic key-partitioned threading: thread t owns keys with
+// key % T == t, each thread scans the whole input (sequential reads are
+// cheap) but touches only its own dense counter array of key_space/T
+// slots, so the random counter accesses parallelize and shrink per
+// thread.  Results are bit-identical to the serial pass (input order is
+// preserved per key).
+static int planner_threads(int64_t n) {
+  if (n < (int64_t{1} << 21)) return 1;
+  unsigned hw = std::thread::hardware_concurrency();
+  return static_cast<int>(std::min<unsigned>(hw ? hw : 1, 8));
+}
+
+void cumcount_bounded_i64(const int64_t* keys, int64_t n, int64_t key_space,
+                          int64_t* out) {
+  const int T = planner_threads(n);
+  if (T == 1) {
+    std::vector<int32_t> cnt(static_cast<size_t>(key_space), 0);
+    for (int64_t i = 0; i < n; ++i) out[i] = cnt[keys[i]]++;
+    return;
+  }
+  auto work = [&](int t) {
+    std::vector<int32_t> cnt(static_cast<size_t>(key_space / T + 1), 0);
+    for (int64_t i = 0; i < n; ++i) {
+      int64_t k = keys[i];
+      if (k % T == t) out[i] = cnt[k / T]++;
+    }
+  };
+  std::vector<std::thread> th;
+  for (int t = 0; t < T; ++t) th.emplace_back(work, t);
+  for (auto& x : th) x.join();
+}
+
+void plan_derive_bounded_i64(const int64_t* pos, const int64_t* w,
+                             const int64_t* c, int64_t n, int64_t n_windows,
+                             int64_t sup_rows, int64_t key_space,
+                             int64_t* lane, int64_t* sup, int64_t* layer) {
+  const int T = planner_threads(n);
+  if (T == 1) {
+    std::vector<int32_t> cnt(static_cast<size_t>(key_space), 0);
+    for (int64_t i = 0; i < n; ++i) {
+      int64_t l = pos[i] & 127;
+      int64_t s = pos[i] / sup_rows;
+      lane[i] = l;
+      sup[i] = s;
+      int64_t cell = ((s * n_windows + w[i]) * 8 + c[i]) * 128 + l;
+      layer[i] = cnt[cell]++;
+    }
+    return;
+  }
+  auto work = [&](int t) {
+    std::vector<int32_t> cnt(static_cast<size_t>(key_space / T + 1), 0);
+    for (int64_t i = 0; i < n; ++i) {
+      int64_t p = pos[i];
+      int64_t l = p & 127;
+      int64_t s = p / sup_rows;
+      int64_t cell = ((s * n_windows + w[i]) * 8 + c[i]) * 128 + l;
+      if (cell % T == t) {
+        lane[i] = l;
+        sup[i] = s;
+        layer[i] = cnt[cell / T]++;
+      }
+    }
+  };
+  std::vector<std::thread> th;
+  for (int t = 0; t < T; ++t) th.emplace_back(work, t);
+  for (auto& x : th) x.join();
+}
+
+int64_t unique_ic_bounded_i64(const int64_t* keys, int64_t n,
+                              int64_t key_space, int64_t* out_uniq,
+                              int64_t* out_inv, int64_t* out_counts) {
+  std::vector<int64_t> cnt(static_cast<size_t>(key_space), 0);
+  for (int64_t i = 0; i < n; ++i) cnt[keys[i]]++;
+  // ascending scan doubles as the sort np.unique performs
+  std::vector<int32_t> rank(static_cast<size_t>(key_space));
+  int64_t m = 0;
+  for (int64_t k = 0; k < key_space; ++k) {
+    if (cnt[k]) {
+      out_uniq[m] = k;
+      out_counts[m] = cnt[k];
+      rank[k] = static_cast<int32_t>(m++);
+    }
+  }
+  for (int64_t i = 0; i < n; ++i) out_inv[i] = rank[keys[i]];
+  return m;
 }
 
 // unique + inverse + counts for integer keys, one hash pass + a sort of

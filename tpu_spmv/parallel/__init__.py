@@ -1,5 +1,6 @@
 from .distributed import (
     ShardedCSR,
+    init_distributed,
     make_row_mesh,
     ShardedWindowEll,
     pagerank_sharded,
@@ -12,6 +13,7 @@ from .distributed import (
 
 __all__ = [
     "ShardedCSR",
+    "init_distributed",
     "make_row_mesh",
     "shard_csr",
     "shard_csr_packed",

@@ -48,6 +48,61 @@ from ..csr import CSRMatrix, _bucket
 from ..errors import InvalidArgumentError
 
 
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Multi-host bootstrap (SURVEY §2/§5 checklist): wire this process
+    into the cluster so ``jax.devices()`` spans every host's chips and the
+    row mesh below stretches across DCN.
+
+    On single-process runs (tests, one host) this is a no-op unless the
+    standard cluster environment variables are present.  Call once before
+    any other JAX work, mirroring ``jax.distributed.initialize`` docs.
+    """
+    import os
+
+    if coordinator_address is None and num_processes is None \
+            and "JAX_COORDINATOR_ADDRESS" not in os.environ \
+            and "COORDINATOR_ADDRESS" not in os.environ:
+        return  # single-process: nothing to bootstrap
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def _nnz_balanced_bounds(row_ptrs: np.ndarray, n_shards: int) -> np.ndarray:
+    """Row partition bounds with near-equal nnz per shard.
+
+    Round 1 split rows into equal COUNTS, so on power-law graphs one shard
+    owned most of the nnz and bounded the step time (VERDICT Weak #5).
+    Equal-work partitioning is the merge-path idea applied across chips:
+    cut at the nnz quantiles via searchsorted on the row-pointer prefix
+    sums (the same structure ``merge_path_search`` binary-searches,
+    ``spmv_kernels.cu:48-72``).
+    """
+    rows = len(row_ptrs) - 1
+    nnz = int(row_ptrs[-1])
+    targets = (np.arange(1, n_shards, dtype=np.int64) * nnz) // n_shards
+    cuts = np.searchsorted(row_ptrs, targets, side="left")
+    bounds = np.concatenate([[0], cuts, [rows]]).astype(np.int64)
+    return np.maximum.accumulate(bounds)
+
+
+def _stitch_rows(y_padded, bounds: tuple, rps: int):
+    """Reassemble the true-order y from the padded per-shard frame: each
+    shard's valid prefix is a static contiguous slice, so this is a few
+    vectorized copies — no elementwise gather."""
+    parts = []
+    for d in range(len(bounds) - 1):
+        length = int(bounds[d + 1] - bounds[d])
+        if length:
+            parts.append(
+                jax.lax.dynamic_slice_in_dim(y_padded, d * rps, length))
+    if not parts:
+        return y_padded[:0]
+    return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+
 def make_row_mesh(n_devices: int | None = None,
                   axis_name: str = "rows") -> Mesh:
     """A 1D device mesh over the first ``n_devices`` local devices."""
@@ -76,31 +131,48 @@ class ShardedCSR:
     num_rows: int
     num_cols: int
     nnz: int
-    rows_per_shard: int
+    rows_per_shard: int     # padded per-shard frame height
+    bounds: tuple           # global row bounds per shard (n_shards + 1)
+    shard_nnz: tuple = ()   # per-shard nnz (diagnostics)
 
     @property
     def n_shards(self) -> int:
         return int(self.values.shape[0])
 
+    @property
+    def nnz_imbalance(self) -> float:
+        """max/mean − 1 of per-shard nnz (0 = perfectly balanced)."""
+        return _imbalance_of(self.shard_nnz)
+
     def tree_flatten(self):
         return (self.values, self.col_indices, self.row_ids), \
-            (self.num_rows, self.num_cols, self.nnz, self.rows_per_shard)
+            (self.num_rows, self.num_cols, self.nnz, self.rows_per_shard,
+             self.bounds, self.shard_nnz)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         return cls(*leaves, *aux)
 
 
+def _imbalance_of(shard_nnz: tuple) -> float:
+    s = np.asarray(shard_nnz, np.float64)
+    if s.size == 0 or s.mean() == 0:
+        return 0.0
+    return float(s.max() / s.mean() - 1.0)
+
+
 def shard_csr(A: CSRMatrix, mesh: Mesh,
               axis_name: str = "rows") -> ShardedCSR:
-    """Partition a host CSR matrix into equal row blocks over ``mesh`` and
-    place each block on its device."""
+    """Partition a host CSR matrix into nnz-balanced row blocks over
+    ``mesh`` and place each block on its device.  Shards own differing
+    row counts inside a common padded frame (``rows_per_shard``);
+    :func:`_stitch_rows` reassembles the true-order result from a few
+    static contiguous slices."""
     n_shards = int(mesh.shape[axis_name])
     rows = A.num_rows
-    rps = max(-(-max(rows, 1) // n_shards), 1)
-    # per-shard nnz, common pad bucket
-    bounds = np.minimum(np.arange(n_shards + 1) * rps, rows)
     ptr = A.row_ptrs
+    bounds = _nnz_balanced_bounds(ptr, n_shards)
+    rps = max(int(np.diff(bounds).max(initial=0)), 1)
     shard_nnz = ptr[bounds[1:]] - ptr[bounds[:-1]]
     nnz_pad = _bucket(int(shard_nnz.max(initial=0)))
 
@@ -128,6 +200,8 @@ def shard_csr(A: CSRMatrix, mesh: Mesh,
         num_cols=A.num_cols,
         nnz=A.nnz,
         rows_per_shard=rps,
+        bounds=tuple(int(b) for b in bounds),
+        shard_nnz=tuple(int(v) for v in shard_nnz),
     )
 
 
@@ -163,7 +237,7 @@ def spmv_csr_sharded(sharded: ShardedCSR, x, mesh: Mesh | None = None,
         mesh = sharded.values.sharding.mesh
     fn = _sharded_spmv_fn(mesh, axis_name, sharded.rows_per_shard)
     y = fn(sharded.values, sharded.col_indices, sharded.row_ids, x)
-    return y[: sharded.num_rows]
+    return _stitch_rows(y, sharded.bounds, sharded.rows_per_shard)
 
 
 def pagerank_sharded(sharded, dangling_mask,
@@ -195,14 +269,17 @@ def pagerank_sharded(sharded, dangling_mask,
     if n == 0:
         result.ranks = jnp.zeros((0,), jnp.float32)
         return result
+    bounds, rps = sharded.bounds, sharded.rows_per_shard
     if packed:
         packed_fn = _sharded_packed_fn(mesh, axis_name, sharded.plan_aux)
         spmv_args = sharded.leaves
-        spmv = lambda r, args: packed_fn(r, *args)[:n]
+        spmv = lambda r, args: _stitch_rows(packed_fn(r, *args),
+                                            bounds, rps)[:n]
     else:
         flat_fn = _sharded_spmv_fn(mesh, axis_name, sharded.rows_per_shard)
         spmv_args = (sharded.values, sharded.col_indices, sharded.row_ids)
-        spmv = lambda r, args: flat_fn(*args, r)[:n]
+        spmv = lambda r, args: _stitch_rows(flat_fn(*args, r),
+                                            bounds, rps)[:n]
     mask = jnp.asarray(np.asarray(dangling_mask, np.float32)[:n])
     damping = float(cfg.damping_factor)
     tol = float(cfg.tolerance)
@@ -275,11 +352,18 @@ class ShardedWindowEll:
     num_rows: int
     num_cols: int
     nnz: int
-    rows_per_shard: int
+    rows_per_shard: int      # padded per-shard frame height
+    bounds: tuple            # global row bounds per shard (n_shards + 1)
+    shard_nnz: tuple = ()    # per-shard nnz (diagnostics)
+
+    @property
+    def nnz_imbalance(self) -> float:
+        return _imbalance_of(self.shard_nnz)
 
     def tree_flatten(self):
         return self.leaves, (self.plan_aux, self.num_rows, self.num_cols,
-                             self.nnz, self.rows_per_shard)
+                             self.nnz, self.rows_per_shard, self.bounds,
+                             self.shard_nnz)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -300,9 +384,9 @@ def shard_csr_packed(A: CSRMatrix, mesh: Mesh, axis_name: str = "rows",
 
     n_shards = int(mesh.shape[axis_name])
     rows = A.num_rows
-    rps = max(-(-max(rows, 1) // n_shards), 1)
-    bounds = np.minimum(np.arange(n_shards + 1) * rps, rows)
     ptr = A.row_ptrs
+    bounds = _nnz_balanced_bounds(ptr, n_shards)
+    rps = max(int(np.diff(bounds).max(initial=0)), 1)
     # the superblock height is part of the kernel's static signature, so
     # pick it once from the whole matrix and build every shard with it
     sup = _choose_sup(A)
@@ -363,9 +447,12 @@ def shard_csr_packed(A: CSRMatrix, mesh: Mesh, axis_name: str = "rows",
                        NamedSharding(mesh, P(axis_name,
                                              *([None] * (a.ndim - 1)))))
         for a in stacked)
+    shard_nnz = ptr[bounds[1:]] - ptr[bounds[:-1]]
     return ShardedWindowEll(leaves=leaves, plan_aux=plan_aux,
                             num_rows=rows, num_cols=A.num_cols, nnz=A.nnz,
-                            rows_per_shard=rps)
+                            rows_per_shard=rps,
+                            bounds=tuple(int(b) for b in bounds),
+                            shard_nnz=tuple(int(v) for v in shard_nnz))
 
 
 @functools.lru_cache(maxsize=32)
@@ -400,4 +487,4 @@ def spmv_csr_sharded_packed(sp: ShardedWindowEll, x,
         mesh = sp.leaves[0].sharding.mesh
     fn = _sharded_packed_fn(mesh, axis_name, sp.plan_aux)
     y = fn(x, *sp.leaves)
-    return y[: sp.num_rows]
+    return _stitch_rows(y, sp.bounds, sp.rows_per_shard)
