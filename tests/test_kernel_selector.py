@@ -7,7 +7,7 @@ from tpu_spmv.selector import (
     AVG_NNZ_SCALAR_THRESHOLD,
     SKEWNESS_VECTOR_THRESHOLD,
 )
-from tpu_spmv.spmv import VMEM_X_MAX_COLS
+from tpu_spmv.spmv import PACKED_MAX_COLS
 from tpu_spmv.csr import CSRMatrix
 
 from conftest import PROP_ITERS
@@ -65,12 +65,13 @@ class TestHeuristicBranches:
 
     def test_vmem_x_rule(self):
         """The texture-analog rule (test_kernel_selector.cpp:120-137):
-        VMEM residency enabled iff x fits."""
+        VMEM residency enabled iff x fits the packed path (round 2: the
+        composite path stretches the cap beyond one resident block)."""
         small = _csr_with_row_lengths([4] * 8, 100)
         assert spmv_auto_config(small).use_vmem_x
         # huge-cols matrix built directly (dense would not fit in memory)
         rows = 8
-        cols = VMEM_X_MAX_COLS + 1
+        cols = PACKED_MAX_COLS + 1
         row_ptrs = np.arange(rows + 1, dtype=np.int32) * 4
         big = CSRMatrix(rows, cols,
                         np.ones(rows * 4, np.float32),

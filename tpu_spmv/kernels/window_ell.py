@@ -24,8 +24,9 @@ Layout (built host-side by :class:`WindowEllPlan`):
   lies in chunk ``c`` of window ``w`` (so the lane-gather
   ``take_along_axis(table, col % 128, axis=1)`` — the only fast dynamic
   gather the VPU exposes — fetches its x entry) and whose row satisfies
-  ``row ≡ l (mod 128)`` within the group's ``SUP``-row *superblock*.  The
-  row sub-block (``(row/128) % N_TB``) is stored **per slot** as int8
+  ``row ≡ l (mod 128)`` within the group's *superblock* of ``sup`` rows
+  (sup ∈ {1024, 4096, 16384}, cost-model-selected per matrix).  The row
+  sub-block (``(row/128) % (sup/128)``) is stored **per slot** as int8
   (``sb``), so nonzeros stack densely: the packing cell is
   ``(superblock, window, chunk, lane)`` and cells stack layers
   independently — per-slot ``sb`` is what buys dense occupancy over a
@@ -45,19 +46,24 @@ per-superblock grid machinery of round 1):
   processes all its groups in sub-tiles of ``T_SUB``; each run of
   ``T_BASE`` consecutive groups shares a *scatter base* (the superblock's
   first sublane, scalar-prefetched), and the sub-tile's products are
-  folded by 8 masked sublane-sums and added into the output block at the
-  dynamic base — one (8,128) read-modify-write per ``T_BASE`` groups.
-  Group runs are padded to ``T_BASE`` with zero-valued slots at plan time
-  (measured ~6% on the 10M-nnz power-law headline).  8 targets instead of
-  round 1's 16 costs ~11 ps/slot on v5e (was ~24).
-* **Extras groups run first** (they sit in the leading HBM blocks, padded
-  to a block boundary); when they finish, one step copies their totals
-  from the output block into the gather-table scratch appended after x,
-  and unit-valued *combine* nonzeros in later row groups gather those
-  totals exactly like x entries — the split/spill reduction happens
-  inside the kernel, deterministically, with no atomics and no host-side
-  scatter (the determinism contract the reference's merge-path atomicAdd
-  lacks, ``spmv_kernels.cu:116,128``).
+  folded by ``sup/128`` masked sublane-sums and added into the output
+  block at the dynamic base — one (sup/128, 128) read-modify-write per
+  ``T_BASE`` groups.  Group runs are padded to ``T_BASE`` with zero-valued
+  slots at plan time (measured ~6% on the 10M-nnz headline).  At the
+  narrow sup the 8 targets cost ~11 ps/slot on v5e (round 1's 16-target
+  design: ~24); wide superblocks trade linear scatter cost for packing
+  density on sparse-wide structure (see ``SUP_LEVELS``).
+* **Extras groups run first** (they sit in the leading HBM blocks, each
+  extras level padded to a block boundary); a between-steps copy
+  publishes their totals into the extras region of the gather block
+  (``x_ref`` carries x ++ extras-totals; Pallas input blocks are mutable
+  VMEM fetched once under a constant index map), in TWO levels: each
+  original row's extras fold into one level-2 extra, and the row region
+  carries a single unit-valued *combine* nonzero per row that gathers the
+  level-2 total exactly like an x entry — the split/spill reduction
+  happens inside the kernel, deterministically, with no atomics and no
+  host-side scatter (the determinism contract the reference's merge-path
+  atomicAdd lacks, ``spmv_kernels.cu:116,128``).
 """
 
 from __future__ import annotations
@@ -151,7 +157,7 @@ class WindowEllPlan:
 
     vals: jax.Array          # f32 (n_groups_pad*8, 128)
     lo: jax.Array            # i8  (n_groups_pad*8, 128)  col % 128 per slot
-    sb: jax.Array            # i8  (n_groups_pad*8, 128)  (pos/128) % N_TB
+    sb: jax.Array            # i8  (n_groups_pad*8, 128)  (pos/128)%(sup/128)
     wg: jax.Array            # i32 (n_groups_pad,)  x-window per group (SMEM)
     base: jax.Array          # i32 (n_groups_pad/T_BASE,) superblock per run
     blk_step: jax.Array      # i32 (n_steps,) HBM block per step, -1 = pad
@@ -159,7 +165,7 @@ class WindowEllPlan:
     extra_to_row: jax.Array  # i32 (n_extra,)  extra slot → original row
     num_rows: int
     num_cols: int
-    extras_base: int         # first extra-row position (SUP-aligned)
+    extras_base: int         # first extra-row position (sup-aligned)
     n_extra: int
     e8: int                  # gather-table sublanes for extras totals
     out8: int                # output block sublanes (rows ++ extras)

@@ -31,7 +31,7 @@ can re-derive and override them.
 from __future__ import annotations
 
 from .csr import CSRMatrix
-from .spmv import KernelType, SpMVConfig, VMEM_X_MAX_COLS
+from .spmv import KernelType, PACKED_MAX_COLS, SpMVConfig
 
 AVG_NNZ_SCALAR_THRESHOLD = 0.05
 SKEWNESS_VECTOR_THRESHOLD = 4.0
@@ -43,7 +43,9 @@ def spmv_auto_config(A: CSRMatrix) -> SpMVConfig:
     (reference ``spmv_auto_config``, ``spmv_cpu.cpp:34-50``)."""
     config = SpMVConfig()
     config.block_size = DEFAULT_BLOCK_SIZE
-    config.use_vmem_x = A.num_cols <= VMEM_X_MAX_COLS
+    # round 2: the composite multi-plan path serves x beyond a single
+    # VMEM-resident block, so the packed cap is PACKED_MAX_COLS
+    config.use_vmem_x = A.num_cols <= PACKED_MAX_COLS
 
     stats = A.compute_stats()
 

@@ -294,8 +294,18 @@ def spmv_ell(A: ELLMatrix | None, x, config: SpMVConfig | None = None,
     try:
         result.y = fn(*args, x)[: A.num_rows]
     except _EXEC_ERRORS:
-        result.error_code = int(SpMVError.EXECUTION)
-        return result
+        if fn is spmv_window_ell:
+            # packed-path device/compile failure: retry on the slot-major
+            # streaming kernel before reporting EXECUTION
+            fn, args = (lambda d, v: _ell_entry(d, v)), (A.to_device(),)
+            try:
+                result.y = fn(*args, x)[: A.num_rows]
+            except _EXEC_ERRORS:
+                result.error_code = int(SpMVError.EXECUTION)
+                return result
+        else:
+            result.error_code = int(SpMVError.EXECUTION)
+            return result
 
     if measure:
         from .timing import time_jitted
