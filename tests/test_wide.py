@@ -94,3 +94,27 @@ class TestCompositePlan:
         ranks = np.asarray(res.ranks)
         assert (ranks >= 0).all()
         assert abs(ranks.sum() - 1.0) < 1e-4
+
+
+class TestWideColumns:
+    def test_dispatch_beyond_single_vmem_block(self, rng):
+        """Columns between VMEM_X_MAX_COLS and PACKED_MAX_COLS route
+        through the composite path and stay correct (round 1: flat)."""
+        import numpy as np
+
+        from tpu_spmv.csr import CSRMatrix
+        from tpu_spmv.kernels.window_ell import spmv_composite
+        from tpu_spmv.spmv import VMEM_X_MAX_COLS
+
+        r = rng.rng
+        rows, cols, k = 1024, VMEM_X_MAX_COLS + 4096, 6
+        ca = np.sort(r.integers(0, cols, (rows, k), dtype=np.int32), axis=1)
+        va = r.random((rows, k)).astype(np.float32)
+        rp = np.arange(rows + 1, dtype=np.int32) * k
+        m = CSRMatrix(rows, cols, va.reshape(-1), ca.reshape(-1), rp)
+        x = r.random(cols).astype(np.float32)
+        res = spmv_csr(m, x, SpMVConfig(kernel_type=KernelType.MERGE_PATH))
+        assert res.error_code == 0
+        assert spmv_matches(np.asarray(res.y), m, x, rel_tol=1e-5)
+        fn, _ = m._plan_cache[(int(KernelType.MERGE_PATH), None)]
+        assert fn is spmv_composite

@@ -470,8 +470,12 @@ def _sharded_packed_fn(mesh: Mesh, axis_name: str, plan_aux: tuple):
         mesh=mesh,
         in_specs=(P(),) + tuple(P(axis_name) for _ in range(n_leaves)),
         out_specs=P(axis_name),
-        # pallas_call inside shard_map cannot declare how its out varies
-        # across mesh axes; disable the varying-mesh-axes check
+        # check_vma=True requires a `vma` annotation on the pallas_call's
+        # out ShapeDtypeStruct (verified: jax 0.9 raises exactly that),
+        # and the kernel factory is shared with the single-chip path where
+        # no mesh exists — so the varying-mesh-axes check stays off here
+        # and correctness rests on the virtual-mesh property tests
+        # (tests/test_distributed.py) instead.
         check_vma=False,
     )
     return jax.jit(mapped)

@@ -126,7 +126,9 @@ def _plan_for(A: CSRMatrix, kernel_type: KernelType,
         split = MERGE_SPLIT_ROWS if kernel_type == KernelType.MERGE_PATH \
             else None
         if A.num_cols <= VMEM_X_MAX_COLS:
-            s = _choose_sup(A)
+            if "_sup" not in A._plan_cache:   # O(nnz) sampled model — cache
+                A._plan_cache["_sup"] = _choose_sup(A)
+            s = A._plan_cache["_sup"]
             # row splitting only matters for narrow superblocks — wide
             # ones spread even very long rows across windows and chunks
             split = split if s == SUP_LEVELS[0] else None
