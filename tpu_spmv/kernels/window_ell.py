@@ -758,23 +758,33 @@ def _subset_csr(csr: CSRMatrix, rows_of: np.ndarray,
 
 
 def build_composite(csr: CSRMatrix, step_groups: int | None = None,
-                    max_levels: int = 3, device=None) -> CompositePlan:
+                    max_levels: int = 3, split_rows: int | None = None,
+                    device=None) -> CompositePlan:
     """Build the multi-level composite layout (see :class:`CompositePlan`).
 
     Each level's superblock height comes from the cost model on what is
-    left; a level keeps one layer per (superblock, window, chunk, lane)
-    cell and passes the rest down.  Row splitting is unnecessary here:
-    wide superblocks spread even very long rows across windows/chunks.
+    left.  A narrow level keeps each cell's layers up to the bucket cap
+    (the mass that packs at high occupancy with NO extras machinery); a
+    wide level keeps one layer per cell.  The FINAL level absorbs the
+    remainder with the full split/spill/extras machinery — measured on
+    the 10M-nnz headline, giving the over-cap mass (heavy-row residue +
+    Poisson tails) its own plan packs it at 0.43 occupancy versus 0.27
+    as an in-plan extras region (the per-row extra slots there inherit
+    the structure; a standalone build re-balances them).  Splitting in
+    non-final levels is unnecessary: the cap-keep strips heavy rows'
+    excess into the next level.
     """
     plans = []
     rem = csr
-    for _ in range(max_levels):
+    for lvl in range(max_levels):
         s = _choose_sup(rem)
-        if s == SUP_LEVELS[0]:
-            # dense enough for an ordinary narrow plan — final level
+        narrow = s == SUP_LEVELS[0]
+        if lvl == max_levels - 1 or (narrow and lvl > 0) \
+                or rem.nnz < (1 << 16):
+            # final level: full machinery (splits + extras) takes the rest
             try:
                 plans.append(WindowEllPlan.build(
-                    rem, split_rows=None, step_groups=step_groups, sup=s,
+                    rem, split_rows=split_rows, step_groups=step_groups,
                     device=device))
                 rem = None
             except WindowEllOverflow:
@@ -788,12 +798,22 @@ def build_composite(csr: CSRMatrix, step_groups: int | None = None,
         cell = (((rows_of // s) * n_windows + cols64 // WINDOW)
                 * (CHUNKS * LANE)
                 + ((cols64 // LANE) % CHUNKS) * LANE + rows_of % LANE)
-        keep = _cumcount(cell) < 1
+        layer = _cumcount(cell)
+        if narrow:
+            bucket = cell // (CHUNKS * LANE)
+            _, binv, bcnt = _unique_ic(bucket)
+            cap = np.maximum(
+                -(-(bcnt + (bcnt * 0.3).astype(np.int64))
+                  // (CHUNKS * LANE)),
+                -(-bcnt // (CHUNKS * LANE)))
+            keep = layer < cap[binv]
+        else:
+            keep = layer < 1
         kept = _subset_csr(rem, rows_of, keep)
         try:
             plans.append(WindowEllPlan.build(
                 kept, split_rows=None, step_groups=step_groups, sup=s,
-                cap_slack=2, device=device))
+                cap_slack=8 if narrow else 2, device=device))
         except WindowEllOverflow:
             break                     # whole remainder to the flat tail
         n_spill = int((~keep).sum())

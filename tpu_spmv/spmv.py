@@ -129,6 +129,11 @@ def _plan_for(A: CSRMatrix, kernel_type: KernelType,
             if "_sup" not in A._plan_cache:   # O(nnz) sampled model — cache
                 A._plan_cache["_sup"] = _choose_sup(A)
             s = A._plan_cache["_sup"]
+            # (A cap-keep composite for the narrow merge path was measured
+            # SLOWER than the in-plan extras fold — 265 vs 241 µs on the
+            # headline: a final-level plan re-packs the over-cap mass at
+            # original row positions and hits the shallow-bucket floor the
+            # synthetic extras rows exist to avoid.  docs/PERF.md.)
             # row splitting only matters for narrow superblocks — wide
             # ones spread even very long rows across windows and chunks
             split = split if s == SUP_LEVELS[0] else None
@@ -143,7 +148,8 @@ def _plan_for(A: CSRMatrix, kernel_type: KernelType,
         # x wider than one resident block, or the single plan overflowed:
         # the multi-level composite splits the mass across plans
         A._plan_cache[key] = (
-            spmv_composite, build_composite(A, step_groups=step_groups))
+            spmv_composite,
+            build_composite(A, step_groups=step_groups, split_rows=split))
     return A._plan_cache[key]
 
 
