@@ -83,7 +83,7 @@ from .pagerank import (
     pagerank_top_k,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "SpMVError", "SpMVException", "DeviceException", "FileIOError",

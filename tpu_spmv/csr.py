@@ -29,7 +29,6 @@ Semantics preserved exactly from the reference:
 from __future__ import annotations
 
 import dataclasses
-import io
 import os
 from typing import BinaryIO
 
