@@ -118,3 +118,34 @@ class TestWideColumns:
         assert spmv_matches(np.asarray(res.y), m, x, rel_tol=1e-5)
         fn, _ = m._plan_cache[(int(KernelType.MERGE_PATH), None)]
         assert fn is spmv_composite
+
+
+class TestCompositePageRank:
+    def test_pagerank_over_composite_dispatch(self, rng):
+        """PageRank's jitted while_loop must accept CompositePlan args
+        (the dispatch returns them for wide-column matrices)."""
+        import numpy as np
+
+        from tpu_spmv.csr import CSRMatrix
+        from tpu_spmv.spmv import VMEM_X_MAX_COLS
+
+        r = rng.rng
+        n = VMEM_X_MAX_COLS + 2048        # square, beyond one VMEM block
+        k = 4
+        ca = np.sort(r.integers(0, n, (2048, k), dtype=np.int32), axis=1)
+        va = r.random((2048, k)).astype(np.float32)
+        # square matrix: 2048 busy rows, the rest empty
+        rp = np.zeros(n + 1, np.int32)
+        rp[1:2049] = np.arange(1, 2049, dtype=np.int32) * k
+        rp[2049:] = rp[2048]
+        m = CSRMatrix(n, n, va.reshape(-1), ca.reshape(-1), rp)
+        # column-normalize
+        colsum = np.zeros(n, np.float32)
+        np.add.at(colsum, m.col_indices, m.values)
+        m.values = m.values / np.where(colsum[m.col_indices] > 0,
+                                       colsum[m.col_indices], 1.0)
+        res = pagerank(m, PageRankConfig(max_iterations=8, tolerance=0.0))
+        assert res.error_code == 0
+        ranks = np.asarray(res.ranks)
+        assert np.isfinite(ranks).all()
+        assert abs(ranks.sum() - 1.0) < 1e-3
