@@ -631,8 +631,18 @@ def _build_pallas(n_steps: int, S: int, out8: int, cols8: int, e8: int,
 
         gbase = blk_ref[i] * S
 
-        def body(q, carry):
-            qs = pl.multiple_of(q * T * CHUNKS, T * CHUNKS)
+        def body(q):
+            # q is a Python int: the sub-tile loop is STATICALLY UNROLLED.
+            # A lax.fori_loop here costs ~2.5 ps/slot (measured): Mosaic
+            # cannot software-pipeline the next grid step's input DMA
+            # across a dynamic loop, so compute stops overlapping the
+            # stream and the kernel falls off the HBM roof (10.9 vs 8.4
+            # ps/slot).  v2 has no live ranges — every sub-tile processes
+            # zero-padded slots — so the bounds are static and unrolling
+            # is exact.
+            qs = q * T * CHUNKS
+            if not isinstance(q, int):   # fori path: alignment hint
+                qs = pl.multiple_of(qs, T * CHUNKS)
             lo_q = lo_ref[pl.ds(qs, T * CHUNKS), :].astype(jnp.int32)
             v_q = v_ref[pl.ds(qs, T * CHUNKS), :]
             # int32 for the target compares: v5e rejects i8 vector compares
@@ -657,11 +667,20 @@ def _build_pallas(n_steps: int, S: int, out8: int, cols8: int, e8: int,
                 dst = pl.multiple_of(
                     base_ref[(gbase + q * T) // TB + h], n_tb)
                 o_ref[pl.ds(dst, n_tb), :] += acc
-            return carry
 
         @pl.when(blk_ref[i] >= 0)
         def _():
-            jax.lax.fori_loop(0, S // T, body, 0)
+            if (S // T) * n_tb <= 192:
+                # narrow superblocks: full static unroll (HBM-roof path)
+                for q in range(S // T):
+                    body(q)
+            else:
+                # wide superblocks: the unrolled masked-sum ladders would
+                # blow up the Mosaic program (minutes of compile); these
+                # plans are scatter-bound, so the lost DMA overlap costs
+                # relatively little
+                jax.lax.fori_loop(0, S // T,
+                                  lambda q, c: (body(q), c)[1], 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
