@@ -146,3 +146,31 @@ def jax_leaves(tree):
     import jax
 
     return jax.tree_util.tree_leaves(tree)
+
+
+def test_plan_positions_native_matches_numpy():
+    import numpy as np
+
+    from tpu_spmv import native
+
+    rng = np.random.default_rng(11)
+    rows = 500
+    row_len = rng.integers(0, 40, rows).astype(np.int64)
+    row_ptrs = np.zeros(rows + 1, np.int32)
+    np.cumsum(row_len, out=row_ptrs[1:].astype(np.int64)[:])
+    row_ptrs[1:] = np.cumsum(row_len)
+    parts = np.maximum(-(-row_len // 7), 1)
+    ebor = np.zeros(rows, np.int64)
+    np.cumsum((parts - 1)[:-1], out=ebor[1:])
+    base = 4096
+    got_pos, got_row = native.plan_positions(row_ptrs, parts, ebor, base)
+    # NumPy reference (the fallback formulation)
+    nnz = int(row_ptrs[-1])
+    row_of = np.repeat(np.arange(rows, dtype=np.int64), row_len)
+    in_row = np.arange(nnz, dtype=np.int64) - \
+        np.repeat(row_ptrs[:-1].astype(np.int64), row_len)
+    part = in_row % np.repeat(parts, row_len)
+    want = np.where(part == 0, row_of, base + np.repeat(ebor, row_len)
+                    + part - 1)
+    np.testing.assert_array_equal(got_pos, want)
+    np.testing.assert_array_equal(got_row, row_of)

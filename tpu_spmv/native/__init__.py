@@ -46,6 +46,11 @@ if os.path.exists(_LIB_PATH) and not os.environ.get("TPU_SPMV_NO_NATIVE"):
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64)]
+        _lib.plan_positions_i64.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64)]
         _lib.fill_slots_f32.argtypes = [
             ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
@@ -218,6 +223,35 @@ def _mtx_read_py(path: str):
                 vals.append(v)
         return nr, nc, np.asarray(rows, np.int32), \
             np.asarray(cols, np.int32), np.asarray(vals, np.float32)
+
+
+def plan_positions(row_ptrs: np.ndarray, parts: np.ndarray,
+                   extra_base_of_row: np.ndarray, extras_base: int):
+    """Per-nnz (pos, row_of) for the strided row-split assignment
+    (one native walk; NumPy repeat/arange/where fallback)."""
+    rows = len(parts)
+    row_ptrs = np.ascontiguousarray(row_ptrs, np.int32)
+    nnz = int(row_ptrs[-1]) if rows else 0
+    if _lib is not None and nnz:
+        pos = np.empty(nnz, np.int64)
+        row_of = np.empty(nnz, np.int64)
+        _lib.plan_positions_i64(
+            _p(row_ptrs, ctypes.c_int32), rows,
+            _p(np.ascontiguousarray(parts, np.int64), ctypes.c_int64),
+            _p(np.ascontiguousarray(extra_base_of_row, np.int64),
+               ctypes.c_int64),
+            extras_base, _p(pos, ctypes.c_int64),
+            _p(row_of, ctypes.c_int64))
+        return pos, row_of
+    row_len = np.diff(row_ptrs).astype(np.int64)
+    row_of = np.repeat(np.arange(rows, dtype=np.int64), row_len)
+    in_row = np.arange(nnz, dtype=np.int64) - \
+        np.repeat(row_ptrs[:-1].astype(np.int64), row_len)
+    part = in_row % np.repeat(np.maximum(parts, 1), row_len)
+    pos = np.where(part == 0, row_of,
+                   extras_base + np.repeat(extra_base_of_row, row_len)
+                   + part - 1)
+    return pos, row_of
 
 
 def plan_derive(pos: np.ndarray, w: np.ndarray, c: np.ndarray,

@@ -217,6 +217,26 @@ int64_t unique_inverse_counts_i64(const int64_t* keys, int64_t n,
   return m;
 }
 
+// Fused split-position pass: per-nnz row id and packed position (the
+// strided merge-path part assignment) in one walk over the row pointers —
+// replaces three variable-count np.repeat passes plus arange/where
+// (measured ~6 s of the 10M-nnz plan build on one core).
+void plan_positions_i64(const int32_t* row_ptrs, int64_t rows,
+                        const int64_t* parts,
+                        const int64_t* extra_base_of_row,
+                        int64_t extras_base, int64_t* pos, int64_t* row_of) {
+  for (int64_t r = 0; r < rows; ++r) {
+    const int64_t p = parts[r];
+    const int64_t base = extras_base + extra_base_of_row[r];
+    const int64_t lo = row_ptrs[r], hi = row_ptrs[r + 1];
+    for (int64_t j = lo, k = 0; j < hi; ++j, ++k) {
+      row_of[j] = r;
+      const int64_t part = p > 1 ? k % p : 0;
+      pos[j] = part == 0 ? r : base + part - 1;
+    }
+  }
+}
+
 // Final slot fill: vals/lo/sb written in one pass from per-nnz data.
 void fill_slots_f32(int64_t n, const int64_t* flat, const float* values,
                     const int64_t* cols_mod, const int64_t* sbv,
