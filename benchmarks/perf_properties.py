@@ -1,0 +1,162 @@
+"""Automated requirements-spec performance properties (round-3 artifact).
+
+The reference spec pins two efficiency properties the tests never
+automate (VERDICT r02 missing #2):
+
+* **Vector-CSR row-length robustness** — throughput on a matrix with
+  varying row lengths must stay >= 80% of the same-size uniform-row
+  matrix (``/root/reference/.kiro/specs/spmv-gpu/requirements.md:66``).
+* **Merge-path skew robustness** — throughput on a skew>100 power-law
+  matrix must stay >= 70% of the uniform-distribution matrix
+  (``requirements.md:68``).
+
+Efficiency is measured in Gnnz/s (useful work per second — the quantity
+the spec's "performance/efficiency" compares across matrices whose byte
+footprints differ only in distribution).  Run on real TPU hardware; emits
+one JSON artifact (default ``PERF_PROPS.json``) next to the BENCH files.
+
+Usage: python benchmarks/perf_properties.py [--out PERF_PROPS_r03.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _uniform_csr(rng, rows: int, cols: int, nnz_per_row: int):
+    """Every row exactly ``nnz_per_row`` sorted unique columns."""
+    from tpu_spmv.csr import CSRMatrix
+
+    r = rng.rng
+    cols_arr = np.empty((rows, nnz_per_row), np.int32)
+    # vectorized unique-column draw: argsort of uniform keys per row
+    keys = r.random((rows, cols), np.float32)
+    cols_arr = np.argpartition(keys, nnz_per_row, axis=1)[:, :nnz_per_row]
+    cols_arr = np.sort(cols_arr, axis=1).astype(np.int32)
+    row_ptrs = (np.arange(rows + 1, dtype=np.int64)
+                * nnz_per_row).astype(np.int32)
+    vals = r.uniform(-10, 10, rows * nnz_per_row).astype(np.float32)
+    vals[vals == 0.0] = 1.0
+    return CSRMatrix(rows, cols, vals, cols_arr.reshape(-1), row_ptrs)
+
+
+def _varying_csr(rng, rows: int, cols: int, avg: int):
+    """Row lengths uniform on [1, 2*avg-1] (varying but not skewed —
+    the vector-CSR property's regime), random sorted columns."""
+    from tpu_spmv.csr import CSRMatrix
+
+    r = rng.rng
+    lens = r.integers(1, 2 * avg, rows).astype(np.int64)
+    row_ptrs = np.zeros(rows + 1, np.int32)
+    np.cumsum(lens, out=row_ptrs[1:])
+    nnz = int(row_ptrs[-1])
+    # per-nnz column draw; duplicates within a row are harmless for the
+    # perf property (the kernels handle duplicate columns additively)
+    cols_arr = r.integers(0, cols, nnz).astype(np.int32)
+    order = np.argsort(np.repeat(np.arange(rows), lens) * np.int64(cols)
+                       + cols_arr, kind="stable")
+    cols_arr = cols_arr[order]
+    vals = r.uniform(-10, 10, nnz).astype(np.float32)
+    vals[vals == 0.0] = 1.0
+    return CSRMatrix(rows, cols, vals, cols_arr, row_ptrs)
+
+
+def _measure_gnnz(csr, kernel_type, rng):
+    """Gnnz/s via the resolved dispatch kernel (what the library serves)."""
+    import jax.numpy as jnp
+
+    from tpu_spmv.spmv import SpMVConfig, _resolve_csr_kernel
+    from tpu_spmv.timing import time_jitted
+    from tpu_spmv.utils.testing import spmv_matches
+
+    cfg = SpMVConfig(kernel_type=kernel_type)
+    fn, args = _resolve_csr_kernel(csr, kernel_type, cfg)
+    x = jnp.asarray(rng.vector(csr.num_cols))
+    y = np.asarray(fn(*args, x)[: csr.num_rows])
+    assert spmv_matches(y, csr, np.asarray(x), rel_tol=1e-5), \
+        "correctness gate failed before timing"
+    secs = min(time_jitted(lambda *a: fn(*a[:-1], a[-1]), *args, x,
+                           iters=300) for _ in range(2))
+    return csr.nnz / secs / 1e9, secs
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="PERF_PROPS.json")
+    ap.add_argument("--rows", type=int, default=131072)
+    ap.add_argument("--cols", type=int, default=4096)
+    ap.add_argument("--avg", type=int, default=32)
+    args = ap.parse_args()
+
+    import jax
+
+    from tpu_spmv.spmv import KernelType
+    from tpu_spmv.utils.testing import RandomGenerator
+
+    t0 = time.time()
+    dev = jax.devices()[0]
+    log(f"device: {dev.device_kind} ({dev.platform})")
+    rng = RandomGenerator(42)
+    rows, cols, avg = args.rows, args.cols, args.avg
+
+    # ---- property 1: vector-CSR, varying vs uniform row lengths ----
+    uni = _uniform_csr(rng, rows, cols, avg)
+    var = _varying_csr(rng, rows, cols, avg)
+    log(f"vector-CSR: uniform nnz={uni.nnz}, varying nnz={var.nnz}")
+    g_uni, t_uni = _measure_gnnz(uni, KernelType.VECTOR_CSR, rng)
+    g_var, t_var = _measure_gnnz(var, KernelType.VECTOR_CSR, rng)
+    vec_ratio = g_var / g_uni if g_uni > 0 else 0.0
+    log(f"vector-CSR: uniform {g_uni:.2f} Gnnz/s ({t_uni*1e6:.0f} us), "
+        f"varying {g_var:.2f} Gnnz/s ({t_var*1e6:.0f} us) -> "
+        f"ratio {vec_ratio:.3f} (target >= 0.80)")
+
+    # ---- property 2: merge-path, skew>100 vs uniform distribution ----
+    skew_m = rng.power_law_csr(rows, cols, avg_nnz=float(avg), alpha=1.2)
+    stats = skew_m.compute_stats()
+    log(f"merge-path: skew matrix nnz={skew_m.nnz} "
+        f"skew={stats.skewness:.0f} (need > 100)")
+    assert stats.skewness > 100, "generator did not reach the skew regime"
+    g_skew, t_skew = _measure_gnnz(skew_m, KernelType.MERGE_PATH, rng)
+    g_uni_mp, t_uni_mp = _measure_gnnz(uni, KernelType.MERGE_PATH, rng)
+    mp_ratio = g_skew / g_uni_mp if g_uni_mp > 0 else 0.0
+    log(f"merge-path: uniform {g_uni_mp:.2f} Gnnz/s ({t_uni_mp*1e6:.0f} us), "
+        f"skew {g_skew:.2f} Gnnz/s ({t_skew*1e6:.0f} us) -> "
+        f"ratio {mp_ratio:.3f} (target >= 0.70)")
+
+    report = {
+        "artifact": "perf_properties",
+        "device": f"{dev.device_kind}",
+        "rows": rows, "cols": cols, "avg_nnz": avg,
+        "vector_csr_varying_over_uniform": round(vec_ratio, 4),
+        "vector_csr_target": 0.80,
+        "vector_csr_pass": bool(vec_ratio >= 0.80),
+        "merge_path_skew_over_uniform": round(mp_ratio, 4),
+        "merge_path_target": 0.70,
+        "merge_path_pass": bool(mp_ratio >= 0.70),
+        "detail": {
+            "uniform_gnnz_s": round(g_uni, 3),
+            "varying_gnnz_s": round(g_var, 3),
+            "uniform_mp_gnnz_s": round(g_uni_mp, 3),
+            "skew_gnnz_s": round(g_skew, 3),
+            "skewness": round(stats.skewness, 1),
+            "total_s": round(time.time() - t0, 1),
+        },
+    }
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report))
+    return 0 if report["vector_csr_pass"] and report["merge_path_pass"] \
+        else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -80,3 +80,24 @@ def test_packer_fuzz_tpu_step_width(rng):
         x = r.uniform(-3, 3, cols).astype(np.float32)
         y = np.asarray(spmv_window_ell(plan, x))
         assert spmv_matches(y, csr, x, rel_tol=1e-5), (trial, rows, cols)
+
+
+def test_packer_fuzz_nonstandard_step_widths(rng):
+    """Step widths that are not multiples of T_SUB=16 (e.g. via
+    SpMVConfig(block_size=24) -> step_groups=12) must be normalized at
+    plan time — the unrolled kernel processes S//T_SUB full sub-tiles
+    and would otherwise silently drop trailing groups (ADVICE r02 high:
+    S=12 scattered only 8 of 12 groups)."""
+    r = rng.rng
+    for S in (3, 5, 12, 20, 24, 40, 72):
+        rows = int(r.integers(1500, 4000))
+        cols = int(r.integers(1025, 3000))
+        csr = _matrix(r, int(r.integers(0, 5)), rows, cols)
+        try:
+            plan = WindowEllPlan.build(csr, split_rows=128, step_groups=S)
+        except WindowEllOverflow:
+            continue
+        assert plan.step_groups in (8, 16) or plan.step_groups % 16 == 0
+        x = r.uniform(-3, 3, cols).astype(np.float32)
+        y = np.asarray(spmv_window_ell(plan, x))
+        assert spmv_matches(y, csr, x, rel_tol=1e-5), (S, rows, cols)

@@ -157,7 +157,6 @@ def test_plan_positions_native_matches_numpy():
     rows = 500
     row_len = rng.integers(0, 40, rows).astype(np.int64)
     row_ptrs = np.zeros(rows + 1, np.int32)
-    np.cumsum(row_len, out=row_ptrs[1:].astype(np.int64)[:])
     row_ptrs[1:] = np.cumsum(row_len)
     parts = np.maximum(-(-row_len // 7), 1)
     ebor = np.zeros(rows, np.int64)

@@ -1,0 +1,87 @@
+"""Plan serialization round-trip (round-3: VERDICT r02 next-step #5).
+
+The plan is the expensive artifact (5-20 s planner at the 10M-nnz
+capacity target vs a ~200 µs kernel); save/load must reproduce the exact
+leaves and static aux so a loaded plan hits the same jit cache entry and
+computes identical results.
+"""
+
+import numpy as np
+import pytest
+
+from tpu_spmv import load_plan, save_plan
+from tpu_spmv.csr import CSRMatrix
+from tpu_spmv.errors import InvalidFormatError
+from tpu_spmv.kernels.window_ell import (CompositePlan, WindowEllPlan,
+                                         build_composite, spmv_composite,
+                                         spmv_window_ell)
+from tpu_spmv.utils.testing import spmv_matches
+
+
+def _power_law(rng, rows, cols, avg):
+    return rng.power_law_csr(rows, cols, avg_nnz=avg, alpha=1.6)
+
+
+def test_window_plan_roundtrip(tmp_path, rng):
+    csr = _power_law(rng, 4096, 2048, 12.0)
+    plan = WindowEllPlan.build(csr, split_rows=128)
+    path = str(tmp_path / "plan.npz")
+    plan.save(path)
+    loaded = WindowEllPlan.load(path)
+
+    # static aux identical -> same jit cache key
+    _, aux0 = plan.tree_flatten()
+    _, aux1 = loaded.tree_flatten()
+    assert aux0 == aux1
+    assert loaded.occupancy == pytest.approx(plan.occupancy)
+    for a, b in zip(plan.tree_flatten()[0], loaded.tree_flatten()[0]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    x = rng.vector(2048)
+    y = np.asarray(spmv_window_ell(loaded, x))
+    assert spmv_matches(y, csr, x, rel_tol=1e-5)
+
+
+def test_composite_plan_roundtrip(tmp_path, rng):
+    # wide sparse structure so the composite path engages (hub columns)
+    r = rng.rng
+    rows = cols = 6000
+    nr = 8000
+    rr = r.integers(0, rows, nr).astype(np.int64)
+    cc = np.minimum((r.pareto(1.2, nr) * 30).astype(np.int64), cols - 1)
+    m = np.zeros((rows, cols), np.float32)
+    m[rr, cc] = r.uniform(-2, 2, nr).astype(np.float32)
+    csr = CSRMatrix.from_dense(m)
+    cp = build_composite(csr)
+    path = str(tmp_path / "cp.npz")
+    cp.save(path)
+    loaded = CompositePlan.load(path)
+    assert len(loaded.plans) == len(cp.plans)
+    assert (loaded.tail is None) == (cp.tail is None)
+    x = rng.vector(cols)
+    y = np.asarray(spmv_composite(loaded, x))
+    assert spmv_matches(y, csr, x, rel_tol=1e-5)
+
+
+def test_load_kind_mismatch(tmp_path, rng):
+    csr = _power_law(rng, 1024, 1024, 6.0)
+    plan = WindowEllPlan.build(csr)
+    path = str(tmp_path / "p.npz")
+    plan.save(path)
+    with pytest.raises(InvalidFormatError):
+        CompositePlan.load(path)
+    # generic loader serves either kind
+    generic = load_plan(path)
+    assert isinstance(generic, WindowEllPlan)
+
+
+def test_load_rejects_non_plan(tmp_path):
+    path = str(tmp_path / "junk.npz")
+    np.savez(path, a=np.zeros(3))
+    with pytest.raises(InvalidFormatError):
+        load_plan(path)
+
+
+def test_save_rejects_unknown_type(tmp_path):
+    with pytest.raises(InvalidFormatError):
+        save_plan(object(), str(tmp_path / "x.npz"))

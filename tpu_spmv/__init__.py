@@ -74,6 +74,7 @@ from .benchmark import (
 )
 from . import profiling
 from .io import load_matrix_market
+from .plan_io import load_plan, save_plan
 from .pagerank import (
     PageRankConfig,
     PageRankResult,
@@ -83,7 +84,7 @@ from .pagerank import (
     pagerank_top_k,
 )
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "SpMVError", "SpMVException", "DeviceException", "FileIOError",
@@ -107,5 +108,5 @@ __all__ = [
     "benchmark_to_json", "benchmark_from_json", "comparison_to_json",
     "PageRankConfig", "PageRankResult", "pagerank", "pagerank_top_k",
     "pagerank_save_state", "pagerank_load_state", "profiling",
-    "load_matrix_market",
+    "load_matrix_market", "save_plan", "load_plan",
 ]

@@ -28,7 +28,7 @@ from .csr import CSRMatrix
 from .ell import ELLMatrix
 from .ops import spmv_cpu_csr, spmv_cpu_ell
 from .spmv import SpMVConfig, spmv_csr as _spmv_csr_dispatch, _resolve_csr_kernel, \
-    _ell_entry, KernelType
+    _resolve_ell_kernel, KernelType
 from .kernels.window_ell import WindowEllOverflow
 from .timing import time_runs
 
@@ -145,16 +145,18 @@ def benchmark_ell(A: ELLMatrix, x, config: SpMVConfig | None = None,
     import jax.numpy as jnp
 
     bc = bench_config or BenchmarkConfig()
+    # resolve exactly like spmv_ell dispatch (packed window-ELL plan
+    # first) so the harness times the library's own fast path
     t_plan = time.perf_counter()
-    dev = A.to_device()
+    fn, args = _resolve_ell_kernel(A)
     plan_ms = (time.perf_counter() - t_plan) * 1e3
     xd = jnp.asarray(np.asarray(x, np.float32))
     x_host = np.asarray(x, np.float32)
     y_ref = np.zeros(A.num_rows, np.float32)
     spmv_cpu_ell(A, x_host, y_ref)
-    y_dev = np.asarray(_ell_entry(dev, xd)[: A.num_rows])
+    y_dev = np.asarray(fn(*args, xd)[: A.num_rows])
     correct = bool(np.allclose(y_dev, y_ref, rtol=1e-4, atol=1e-5))
-    times = time_runs(_ell_entry, dev, xd,
+    times = time_runs(lambda *a: fn(*a[:-1], a[-1]), *args, xd,
                       num_runs=bc.num_runs,
                       iters_per_run=bc.iters_per_run,
                       warmup_runs=1 if bc.num_warmup_runs else 0)

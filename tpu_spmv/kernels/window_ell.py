@@ -198,6 +198,22 @@ class WindowEllPlan:
     def n_steps(self) -> int:
         return int(self.blk_step.shape[0])
 
+    def save(self, path: str) -> None:
+        """Persist the built plan (see :mod:`tpu_spmv.plan_io`)."""
+        from ..plan_io import save_plan
+
+        save_plan(self, path)
+
+    @staticmethod
+    def load(path: str, device=None) -> "WindowEllPlan":
+        from ..plan_io import load_plan
+
+        plan = load_plan(path, device)
+        if not isinstance(plan, WindowEllPlan):
+            raise InvalidFormatError(
+                f"{path}: holds a {type(plan).__name__}, not a WindowEllPlan")
+        return plan
+
     @staticmethod
     def build(csr: CSRMatrix, split_rows: int | None = None,
               step_groups: int | None = None, cap_slack: int = 0,
@@ -249,6 +265,14 @@ class WindowEllPlan:
                 step_groups = 8
             else:
                 step_groups = 128 if sup_rows >= 4096 else 256
+        # Normalize to a kernel-legal step width: the sub-tile loop runs
+        # S // T_SUB full tiles and each tile folds T_SUB // T_BASE base
+        # runs, so any S that is neither 8 nor a multiple of T_SUB would
+        # leave trailing groups unprocessed (silently wrong results for
+        # e.g. SpMVConfig(block_size=24) -> step_groups=12).  Rounding up
+        # is always safe: blocks are padded to S groups with zero slots.
+        step_groups = T_BASE if step_groups <= T_BASE \
+            else -(-step_groups // T_SUB) * T_SUB
         S = step_groups
         row_len = np.diff(csr.row_ptrs).astype(np.int64)
         if nnz:
@@ -606,7 +630,8 @@ def _choose_sup(csr: CSRMatrix) -> int:
 
 @functools.lru_cache(maxsize=64)
 def _build_pallas(n_steps: int, S: int, out8: int, cols8: int, e8: int,
-                  rows_sub: int, n_tb: int, interpret: bool):
+                  rows_sub: int, n_tb: int, interpret: bool,
+                  vma: frozenset | None = None):
     T = min(T_SUB, S)
     TB = min(T_BASE, T)
 
@@ -703,19 +728,24 @@ def _build_pallas(n_steps: int, S: int, out8: int, cols8: int, e8: int,
         out_specs=pl.BlockSpec((out8, LANE), lambda i, *m: (0, 0),
                                memory_space=pltpu.VMEM),
     )
+    # vma: the varying-manual-axes annotation for shard_map check_vma=True
+    # (the sharded packed path, tpu_spmv/parallel/distributed.py); Mosaic
+    # treats the kernel as a unit so annotating the out-struct suffices
+    out_sds = jax.ShapeDtypeStruct((out8, LANE), jnp.float32) \
+        if vma is None else \
+        jax.ShapeDtypeStruct((out8, LANE), jnp.float32, vma=vma)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((out8, LANE), jnp.float32),
+        out_shape=out_sds,
         interpret=interpret,
     )
 
 
-@jax.jit
-def spmv_window_ell(plan: WindowEllPlan, x: jax.Array) -> jax.Array:
-    """``y = A @ x`` via the window-ELL plan.  ``x`` is the unpadded operand
-    (``num_cols``,); returns ``(num_rows,)``.  The extras combine runs
-    inside the kernel (table fold) — no host-side scatter remains."""
+def _spmv_window_ell(plan: WindowEllPlan, x: jax.Array,
+                     vma: frozenset | None = None) -> jax.Array:
+    """Unjitted impl of :func:`spmv_window_ell` (``vma`` threads the
+    shard_map varying-axes annotation into the pallas_call)."""
     x = jnp.asarray(x, jnp.float32)
     # the gather block = padded x followed by the extras-totals region
     x_pad = jnp.pad(x, (0, plan.cols_pad + plan.e8 * LANE - x.shape[0]))
@@ -723,10 +753,18 @@ def spmv_window_ell(plan: WindowEllPlan, x: jax.Array) -> jax.Array:
     rows_sub = plan.extras_base // LANE
     fn = _build_pallas(plan.n_steps, plan.step_groups, plan.out8,
                        plan.cols_pad // LANE, plan.e8, rows_sub,
-                       plan.sup // LANE, _use_interpret())
+                       plan.sup // LANE, _use_interpret(), vma)
     out = fn(plan.wg, plan.base, plan.blk_step, plan.fin_step, x2d,
              plan.vals, plan.lo, plan.sb)
     return out.reshape(-1)[: plan.num_rows]
+
+
+@jax.jit
+def spmv_window_ell(plan: WindowEllPlan, x: jax.Array) -> jax.Array:
+    """``y = A @ x`` via the window-ELL plan.  ``x`` is the unpadded operand
+    (``num_cols``,); returns ``(num_rows,)``.  The extras combine runs
+    inside the kernel (table fold) — no host-side scatter remains."""
+    return _spmv_window_ell(plan, x)
 
 
 # ---- composite plans: cap-and-respill across levels (wide matrices) ----
@@ -763,6 +801,22 @@ class CompositePlan:
         nnz = sum(float(p.occupancy) * p.n_groups * CHUNKS * LANE
                   for p in self.plans)
         return nnz / tot if tot else 0.0
+
+    def save(self, path: str) -> None:
+        """Persist the built plan stack (see :mod:`tpu_spmv.plan_io`)."""
+        from ..plan_io import save_plan
+
+        save_plan(self, path)
+
+    @staticmethod
+    def load(path: str, device=None) -> "CompositePlan":
+        from ..plan_io import load_plan
+
+        plan = load_plan(path, device)
+        if not isinstance(plan, CompositePlan):
+            raise InvalidFormatError(
+                f"{path}: holds a {type(plan).__name__}, not a CompositePlan")
+        return plan
 
 
 def _subset_csr(csr: CSRMatrix, rows_of: np.ndarray,

@@ -91,8 +91,11 @@ def _p(arr, ctype):
 # Direct-addressed counters beat the hash passes whenever the key space
 # fits a cache-friendly array (the planner keys are dense products of
 # superblock/window/chunk/lane counts); above this budget fall back to
-# the hash versions.
-_DIRECT_KEYS_MAX = 1 << 27
+# the hash versions.  Sized in BYTES of transient working set, not keys:
+# the worst direct path (unique_ic_bounded) allocates i64 counts + i32
+# ranks = 12 B/key, so 1<<24 keys caps the allocation at ~200 MB
+# (ADVICE r02: the old 1<<27 key bound risked ~1.5 GB host OOM).
+_DIRECT_KEYS_MAX = 1 << 24
 
 
 def cumcount(keys: np.ndarray) -> np.ndarray:

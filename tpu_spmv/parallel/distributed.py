@@ -457,12 +457,26 @@ def shard_csr_packed(A: CSRMatrix, mesh: Mesh, axis_name: str = "rows",
 
 @functools.lru_cache(maxsize=32)
 def _sharded_packed_fn(mesh: Mesh, axis_name: str, plan_aux: tuple):
-    from ..kernels.window_ell import WindowEllPlan, spmv_window_ell
+    from ..kernels.window_ell import WindowEllPlan, _spmv_window_ell, \
+        _use_interpret
+
+    # check_vma is ON whenever the kernel lowers through Mosaic: the
+    # pallas_call's out-struct carries the varying-axes annotation
+    # (window_ell._build_pallas vma parameter).  Interpret mode (the
+    # virtual CPU mesh in tests) keeps it off — jax's HLO interpreter
+    # inlines the kernel, whose scalar constants have no vma, and rejects
+    # the mixed-vma arithmetic (verified on jax 0.9).
+    interp = _use_interpret()
+    vma = None if interp else frozenset({axis_name})
 
     def local(x, *leaves):
         plan = WindowEllPlan.tree_unflatten(
             plan_aux, tuple(a[0] for a in leaves))
-        return spmv_window_ell(plan, x)
+        if vma is not None:
+            # promote the replicated x to varying so every pallas operand
+            # carries the same manual axes
+            x = jax.lax.pvary(x, axis_name)
+        return _spmv_window_ell(plan, x, vma=vma)
 
     n_leaves = 8  # WindowEllPlan has 8 array leaves
     mapped = shard_map(
@@ -470,13 +484,7 @@ def _sharded_packed_fn(mesh: Mesh, axis_name: str, plan_aux: tuple):
         mesh=mesh,
         in_specs=(P(),) + tuple(P(axis_name) for _ in range(n_leaves)),
         out_specs=P(axis_name),
-        # check_vma=True requires a `vma` annotation on the pallas_call's
-        # out ShapeDtypeStruct (verified: jax 0.9 raises exactly that),
-        # and the kernel factory is shared with the single-chip path where
-        # no mesh exists — so the varying-mesh-axes check stays off here
-        # and correctness rests on the virtual-mesh property tests
-        # (tests/test_distributed.py) instead.
-        check_vma=False,
+        check_vma=not interp,
     )
     return jax.jit(mapped)
 

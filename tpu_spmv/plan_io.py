@@ -1,0 +1,124 @@
+"""Plan serialization — save/load built kernel plans (round-3 addition).
+
+The packed plan IS the product of the host-side planner (5-20 s at the
+10M-nnz capacity target on one core), while the kernel runs in ~200 µs;
+without persistence every process pays the build again.  The reference
+serializes its *matrices* (``csr_matrix.cpp:202-279``); the TPU analog of
+that interchange surface is the built plan, because on TPU the expensive
+artifact is the packed layout, not the raw arrays.
+
+Format: a single uncompressed ``.npz`` holding the plan's array leaves
+plus a JSON metadata entry (kind, format version, static aux fields).
+Loading `device_put`s the leaves and reconstructs the frozen dataclasses;
+a round-trip therefore skips the whole planner.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .errors import FileIOError, InvalidFormatError
+
+_VERSION = 1
+_WINDOW_LEAVES = ("vals", "lo", "sb", "wg", "base", "blk_step", "fin_step",
+                  "extra_to_row")
+_WINDOW_AUX = ("num_rows", "num_cols", "extras_base", "n_extra", "e8",
+               "out8", "cols_pad", "step_groups", "split_rows", "sup")
+_CSR_LEAVES = ("values", "col_indices", "row_ptrs", "row_ids")
+
+
+def _window_entry(plan, prefix: str, arrays: dict, meta: dict) -> None:
+    for name in _WINDOW_LEAVES:
+        arrays[prefix + name] = np.asarray(getattr(plan, name))
+    meta[prefix + "aux"] = {k: getattr(plan, k) for k in _WINDOW_AUX}
+    meta[prefix + "occupancy"] = float(plan.occupancy)
+
+
+def _window_from(prefix: str, z, meta: dict, put):
+    from .kernels.window_ell import WindowEllPlan
+
+    aux = meta[prefix + "aux"]
+    leaves = {n: put(jnp.asarray(z[prefix + n])) for n in _WINDOW_LEAVES}
+    return WindowEllPlan(**leaves, **aux,
+                         occupancy=float(meta.get(prefix + "occupancy", 0.0)))
+
+
+def save_plan(plan, path: str) -> None:
+    """Serialize a built :class:`~tpu_spmv.kernels.window_ell.WindowEllPlan`
+    or :class:`~tpu_spmv.kernels.window_ell.CompositePlan` to ``path``."""
+    from .kernels.window_ell import CompositePlan, WindowEllPlan
+
+    arrays: dict = {}
+    meta: dict = {"version": _VERSION}
+    if isinstance(plan, WindowEllPlan):
+        meta["kind"] = "window_ell"
+        _window_entry(plan, "p_", arrays, meta)
+    elif isinstance(plan, CompositePlan):
+        meta["kind"] = "composite"
+        meta["n_levels"] = len(plan.plans)
+        meta["num_rows"] = plan.num_rows
+        meta["num_cols"] = plan.num_cols
+        for i, p in enumerate(plan.plans):
+            _window_entry(p, f"l{i}_", arrays, meta)
+        if plan.tail is not None:
+            meta["tail"] = {"num_rows": plan.tail.num_rows,
+                            "num_cols": plan.tail.num_cols,
+                            "nnz": plan.tail.nnz}
+            for name in _CSR_LEAVES:
+                arrays["t_" + name] = np.asarray(getattr(plan.tail, name))
+    else:
+        raise InvalidFormatError(
+            f"save_plan: unsupported plan type {type(plan).__name__}")
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8)
+    try:
+        with open(path, "wb") as f:
+            np.savez(f, **arrays)
+    except OSError as e:
+        raise FileIOError(str(e)) from e
+
+
+def load_plan(path: str, device=None):
+    """Load a plan saved by :func:`save_plan`; leaves are placed on
+    ``device`` (default device when ``None``)."""
+    from .csr import DeviceCSR
+    from .kernels.window_ell import CompositePlan
+
+    put = (lambda a: jax.device_put(a, device)) if device is not None \
+        else jax.device_put
+    try:
+        z = np.load(path, allow_pickle=False)
+    except OSError as e:
+        raise FileIOError(str(e)) from e
+    if "__meta__" not in z:
+        raise InvalidFormatError(f"{path}: not a tpu_spmv plan file")
+    meta = json.loads(bytes(z["__meta__"].tobytes()).decode())
+    if meta.get("version", 0) > _VERSION:
+        raise InvalidFormatError(
+            f"{path}: plan format v{meta['version']} is newer than this "
+            f"library (v{_VERSION})")
+    kind = meta.get("kind")
+    if kind == "window_ell":
+        return _window_from("p_", z, meta, put)
+    if kind == "composite":
+        plans = tuple(_window_from(f"l{i}_", z, meta, put)
+                      for i in range(meta["n_levels"]))
+        tail = None
+        if "tail" in meta:
+            t = meta["tail"]
+            tail = DeviceCSR(
+                values=put(jnp.asarray(z["t_values"])),
+                col_indices=put(jnp.asarray(z["t_col_indices"])),
+                row_ptrs=put(jnp.asarray(z["t_row_ptrs"])),
+                row_ids=put(jnp.asarray(z["t_row_ids"])),
+                num_rows=t["num_rows"], num_cols=t["num_cols"],
+                nnz=t["nnz"])
+        return CompositePlan(plans=plans, tail=tail,
+                             num_rows=meta["num_rows"],
+                             num_cols=meta["num_cols"])
+    raise InvalidFormatError(f"{path}: unknown plan kind {kind!r}")
