@@ -157,7 +157,13 @@ class WindowEllPlan:
 
     vals: jax.Array          # f32 (n_groups_pad*8, 128)
     lo: jax.Array            # i8  (n_groups_pad*8, 128)  col % 128 per slot
-    sb: jax.Array            # i8  (n_groups_pad*8, 128)  (pos/128)%(sup/128)
+    sb: jax.Array            # i8  (pos/128)%(sup/128) per slot; when
+    #   ``sbn`` the stream is nibble-packed ACROSS GROUP PAIRS — groups
+    #   2t (low nibble) and 2t+1 (high) share one (8,128) int8 vreg, so
+    #   the array is (n_groups_pad*4, 128) and the per-slot stream drops
+    #   6 -> 5.5 B (measured 9.20 -> 8.77 ps/slot on v5e; the round-2
+    #   WITHIN-group pairing needed 4-row slices and blew Mosaic compile
+    #   15x, cross-group pairing compiles in seconds)
     wg: jax.Array            # i32 (n_groups_pad,)  x-window per group (SMEM)
     base: jax.Array          # i32 (n_groups_pad/T_BASE,) superblock per run
     blk_step: jax.Array      # i32 (n_steps,) HBM block per step, -1 = pad
@@ -174,6 +180,7 @@ class WindowEllPlan:
     split_rows: int | None
     sup: int                 # rows per superblock (scatter targets = sup/128)
     occupancy: float
+    sbn: bool = False        # sb stream nibble-packed across group pairs
 
     def tree_flatten(self):
         leaves = (self.vals, self.lo, self.sb, self.wg, self.base,
@@ -183,7 +190,7 @@ class WindowEllPlan:
         # report occupancy 0.0)
         aux = (self.num_rows, self.num_cols, self.extras_base, self.n_extra,
                self.e8, self.out8, self.cols_pad, self.step_groups,
-               self.split_rows, self.sup, 0.0)
+               self.split_rows, self.sup, 0.0, self.sbn)
         return leaves, aux
 
     @classmethod
@@ -364,7 +371,11 @@ class WindowEllPlan:
             # interleave extras by (occurrence-within-row, row): a row's
             # extras land at widely-spaced table slots, so their level-2
             # gathers spread over windows/chunks instead of stacking one
-            # cell deep
+            # cell deep.  (A round-3 "dense-by-construction" band layout
+            # optimizing the gather-slot cells was measured WORSE —
+            # occ 0.455 -> 0.408 on the headline — because it clusters a
+            # row's hot spill content into a few superblocks; spreading
+            # the content dominates gather-slot density.)
             k_within = _cumcount(extra_to_row)
             perm = np.lexsort((extra_to_row, k_within))
             inv_perm = np.empty(n_extra, np.int64)
@@ -375,33 +386,46 @@ class WindowEllPlan:
                 pos = np.where(is_extra, extras_base + inv_perm[safe_idx],
                                pos)
             extra_to_row = extra_to_row[perm]
-            # fold the combine into the kernel, in TWO levels.  A heavy
-            # row's K extras all target one output lane (row % 128), so a
-            # flat combine would need K distinct table chunks per lane —
-            # measured on the 10M-nnz headline it scattered 88K combine
-            # nonzeros over 1.9K near-empty buckets (occupancy 0.026).
-            # Instead each original row gets ONE level-2 extra row whose
-            # nonzeros are unit-valued gathers of that row's level-1
-            # totals (level-2 lanes are free, so they pack densely), and
-            # the row region carries exactly one combine nonzero per row,
-            # grouped by the row's superblock.
-            rows_w, lvl2_of_extra = np.unique(extra_to_row,
-                                              return_inverse=True)
+            # fold the combine into the kernel, in up to TWO levels.  A
+            # heavy row's K extras all target one output lane (row %
+            # 128), so a flat combine would need K distinct table chunks
+            # per lane — measured on the 10M-nnz headline it scattered
+            # 88K combine nonzeros over 1.9K near-empty buckets
+            # (occupancy 0.026).  Rows with K>=2 extras get ONE level-2
+            # extra row of unit-valued gathers of their level-1 totals;
+            # rows with a SINGLE extra skip level 2 entirely (round-3):
+            # their combine nonzero gathers the level-1 total directly,
+            # which removes most of the sparse level-2 region (measured
+            # occupancy 0.080 in round 2 with all heavy rows in L2).
+            rows_w, lvl2_of_extra, k_count = np.unique(
+                extra_to_row, return_inverse=True, return_counts=True)
             R2 = len(rows_w)
+            multi_row = k_count >= 2
+            n_multi = int(multi_row.sum())
+            rho2_of_row = np.cumsum(multi_row) - 1    # rank among multi
+            is_multi = multi_row[lvl2_of_extra]       # per L1 extra
             lvl2_base = -(-n_extra // sup_rows) * sup_rows
             lvl2_sup0 = extras_sup0 + lvl2_base // sup_rows
-            pos_l2 = extras_base + lvl2_base + lvl2_of_extra
-            cols_l2 = cols_pad + np.arange(n_extra, dtype=np.int64)
+            me = np.nonzero(is_multi)[0]
+            pos_l2 = extras_base + lvl2_base \
+                + rho2_of_row[lvl2_of_extra[me]]
+            cols_l2 = cols_pad + me                   # L1 table slots
+            # combine: gather the L2 total (multi) or the single L1
+            # total directly
             pos_fin = rows_w
-            n_lvl2_pos = R2
-            cols_fin = cols_pad + lvl2_base \
-                + np.arange(R2, dtype=np.int64)
+            single_idx = np.zeros(R2, np.int64)
+            se = np.nonzero(~is_multi)[0]
+            single_idx[lvl2_of_extra[se]] = se
+            cols_fin = np.where(multi_row,
+                                cols_pad + lvl2_base + rho2_of_row,
+                                cols_pad + single_idx)
             pos = np.concatenate([pos, pos_l2, pos_fin])
             cols64 = np.concatenate([cols64, cols_l2, cols_fin])
             vals_src = np.concatenate(
-                [vals_src, np.ones(n_extra + R2, np.float32)])
-            extra_to_row = np.concatenate([extra_to_row, rows_w])
-            n_extra_pos = lvl2_base + n_lvl2_pos
+                [vals_src, np.ones(len(me) + R2, np.float32)])
+            extra_to_row = np.concatenate(
+                [extra_to_row, rows_w[multi_row]])
+            n_extra_pos = lvl2_base + n_multi
         else:
             n_extra_pos = 0
         # gather-table sublanes for extras totals (pow2-bucketed to bound
@@ -545,6 +569,15 @@ class WindowEllPlan:
             flat = group_of_nnz * (CHUNKS * LANE) + c * LANE + lane
             fill_slots(flat, vals_src, cols64 % LANE, (pos // LANE) % n_tb,
                        vals, lo, sb)
+        # nibble-pack the sb stream across group pairs when targets fit
+        # 4 bits (narrow superblocks): groups 2t/2t+1 share one int8 vreg
+        # (-0.5 B/slot; n_groups_pad is always even — S is a multiple
+        # of 8).  The kernel unpacks with `& 15` on both nibbles, which
+        # is sign-extension-safe for sb values 8..15.
+        sbn = n_tb <= 16
+        if sbn:
+            pairs = sb.reshape(n_groups_pad // 2, 2, CHUNKS, LANE)
+            sb = (pairs[:, 0] | (pairs[:, 1] << 4)).reshape(-1, LANE)
 
         put = (lambda a: jax.device_put(a, device)) if device is not None \
             else jax.device_put
@@ -568,6 +601,7 @@ class WindowEllPlan:
             split_rows=split_rows,
             sup=sup_rows,
             occupancy=float(nnz / slots) if slots else 0.0,
+            sbn=sbn,
         )
 
 
@@ -631,7 +665,7 @@ def _choose_sup(csr: CSRMatrix) -> int:
 @functools.lru_cache(maxsize=64)
 def _build_pallas(n_steps: int, S: int, out8: int, cols8: int, e8: int,
                   rows_sub: int, n_tb: int, interpret: bool,
-                  vma: frozenset | None = None):
+                  vma: frozenset | None = None, sbn: bool = False):
     T = min(T_SUB, S)
     TB = min(T_BASE, T)
 
@@ -670,7 +704,19 @@ def _build_pallas(n_steps: int, S: int, out8: int, cols8: int, e8: int,
             lo_q = lo_ref[pl.ds(qs, T * CHUNKS), :].astype(jnp.int32)
             v_q = v_ref[pl.ds(qs, T * CHUNKS), :]
             # int32 for the target compares: v5e rejects i8 vector compares
-            sb_q = sb_ref[pl.ds(qs, T * CHUNKS), :].astype(jnp.int32)
+            if sbn:
+                # nibble-packed sb: group pair 2t/2t+1 shares a vreg; the
+                # `& 15` on both nibbles is sign-extension-safe for
+                # stored values 8..15 (int8 <<4 wraps negative)
+                qs2 = q * (T // 2) * CHUNKS
+                if not isinstance(q, int):
+                    qs2 = pl.multiple_of(qs2, (T // 2) * CHUNKS)
+                sb_pk = sb_ref[pl.ds(qs2, (T // 2) * CHUNKS), :] \
+                    .astype(jnp.int32)
+                sb_even = sb_pk & 15
+                sb_odd = (sb_pk >> 4) & 15
+            else:
+                sb_q = sb_ref[pl.ds(qs, T * CHUNKS), :].astype(jnp.int32)
             prods = []
             for t in range(T):
                 wdw = wg_ref[gbase + q * T + t]
@@ -684,7 +730,15 @@ def _build_pallas(n_steps: int, S: int, out8: int, cols8: int, e8: int,
             # one (n_tb,128) read-modify-write per T_BASE groups
             for h in range(T // TB):
                 ph = prod[TB * 8 * h:TB * 8 * (h + 1), :]
-                sh = sb_q[TB * 8 * h:TB * 8 * (h + 1), :]
+                if sbn:
+                    # reassemble run order from the even/odd nibble planes
+                    sh = jnp.concatenate(
+                        [(sb_even if t % 2 == 0 else sb_odd)[
+                            ((TB * h + t) // 2) * 8:
+                            ((TB * h + t) // 2) * 8 + 8, :]
+                         for t in range(TB)], axis=0)
+                else:
+                    sh = sb_q[TB * 8 * h:TB * 8 * (h + 1), :]
                 rows_acc = [jnp.sum(jnp.where(sh == t, ph, 0.0), axis=0,
                                     keepdims=True) for t in range(n_tb)]
                 acc = jnp.concatenate(rows_acc, axis=0)
@@ -720,7 +774,7 @@ def _build_pallas(n_steps: int, S: int, out8: int, cols8: int, e8: int,
                          lambda i, wg, base, blk, fin:
                          (jnp.maximum(blk[i], 0), 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((S * CHUNKS, LANE),
+            pl.BlockSpec((S * CHUNKS // 2 if sbn else S * CHUNKS, LANE),
                          lambda i, wg, base, blk, fin:
                          (jnp.maximum(blk[i], 0), 0),
                          memory_space=pltpu.VMEM),
@@ -753,7 +807,7 @@ def _spmv_window_ell(plan: WindowEllPlan, x: jax.Array,
     rows_sub = plan.extras_base // LANE
     fn = _build_pallas(plan.n_steps, plan.step_groups, plan.out8,
                        plan.cols_pad // LANE, plan.e8, rows_sub,
-                       plan.sup // LANE, _use_interpret(), vma)
+                       plan.sup // LANE, _use_interpret(), vma, plan.sbn)
     out = fn(plan.wg, plan.base, plan.blk_step, plan.fin_step, x2d,
              plan.vals, plan.lo, plan.sb)
     return out.reshape(-1)[: plan.num_rows]

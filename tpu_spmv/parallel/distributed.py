@@ -411,6 +411,7 @@ def shard_csr_packed(A: CSRMatrix, mesh: Mesh, axis_name: str = "rows",
     out8 = max(p.out8 for p in plans)
     n_steps = max(p.n_steps for p in plans)
     n_grows = max(int(p.vals.shape[0]) for p in plans)
+    n_sbrows = max(int(p.sb.shape[0]) for p in plans)  # halved when sbn
     n_wg = max(int(p.wg.shape[0]) for p in plans)
     n_extra = max(p.n_extra for p in plans)
 
@@ -427,7 +428,7 @@ def shard_csr_packed(A: CSRMatrix, mesh: Mesh, axis_name: str = "rows",
 
         vals = pad2(p.vals, n_grows)
         lo = pad2(p.lo, n_grows)
-        sb = pad2(p.sb, n_grows)
+        sb = pad2(p.sb, n_sbrows)
         wg = pad1(p.wg, n_wg, 0)
         base = pad1(p.base, n_wg // T_BASE, 0)
         blk = pad1(p.blk_step, n_steps, -1)
@@ -441,7 +442,8 @@ def shard_csr_packed(A: CSRMatrix, mesh: Mesh, axis_name: str = "rows",
     # extras_base depends only on rps, so it is shard-invariant; e8/out8
     # take the shard maxima (out8 = extras_base/128 + e8 stays consistent)
     plan_aux = (rps, A.num_cols, p0.extras_base, n_extra, e8, out8,
-                p0.cols_pad, p0.step_groups, p0.split_rows, p0.sup, 0.0)
+                p0.cols_pad, p0.step_groups, p0.split_rows, p0.sup, 0.0,
+                p0.sbn)
     leaves = tuple(
         jax.device_put(jnp.asarray(a),
                        NamedSharding(mesh, P(axis_name,

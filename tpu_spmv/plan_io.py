@@ -28,7 +28,8 @@ _VERSION = 1
 _WINDOW_LEAVES = ("vals", "lo", "sb", "wg", "base", "blk_step", "fin_step",
                   "extra_to_row")
 _WINDOW_AUX = ("num_rows", "num_cols", "extras_base", "n_extra", "e8",
-               "out8", "cols_pad", "step_groups", "split_rows", "sup")
+               "out8", "cols_pad", "step_groups", "split_rows", "sup",
+               "sbn")
 _CSR_LEAVES = ("values", "col_indices", "row_ptrs", "row_ids")
 
 
