@@ -178,3 +178,79 @@ class TestBalancedSharding:
         monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
         monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
         init_distributed()  # must not raise or try to reach a coordinator
+
+
+class TestRingSharded:
+    """Ring-pipelined x exchange (round 3): x row-sharded, packed
+    footprint slices rotated with ppermute, per-pair packed plans."""
+
+    @needs_multi
+    def test_ring_matches_oracle(self, rng, n_devices):
+        from tpu_spmv.parallel import shard_csr_ring, spmv_csr_ring
+
+        mesh = make_row_mesh(n_devices)
+        for _ in range(4):
+            rows = rng.uniform_int(2 * n_devices, 300)
+            cols = rng.uniform_int(n_devices, 300)
+            csr = csr_from_dense(rng.dense_matrix(rows, cols, 0.15))
+            x = rng.vector(cols)
+            rs = shard_csr_ring(csr, mesh)
+            y = np.asarray(spmv_csr_ring(rs, x, mesh))
+            assert spmv_matches(y, csr, x, rel_tol=1e-5)
+
+    @needs_multi
+    def test_ring_power_law(self, rng, n_devices):
+        from tpu_spmv.parallel import shard_csr_ring, spmv_csr_ring
+
+        mesh = make_row_mesh(n_devices)
+        csr = rng.power_law_csr(400, 400, avg_nnz=6.0)
+        x = rng.vector(400)
+        rs = shard_csr_ring(csr, mesh)
+        y = np.asarray(spmv_csr_ring(rs, x, mesh))
+        assert spmv_matches(y, csr, x, rel_tol=1e-5)
+
+    @needs_multi
+    def test_ring_banded_compresses(self, rng, n_devices):
+        """A banded (stencil-like) matrix has a tiny cross-shard column
+        footprint — the packed slice must be much smaller than the
+        block, and the traffic model must prefer the ring."""
+        from tpu_spmv.parallel import (ring_traffic_report, shard_csr_ring,
+                                       spmv_csr_ring)
+
+        n = 2048
+        m = np.zeros((n, n), np.float32)
+        for off in (-2, -1, 0, 1, 2):
+            idx = np.arange(max(0, -off), min(n, n - off))
+            m[idx, idx + off] = rng.uniform(0.5, 2.0)
+        csr = csr_from_dense(m)
+        mesh = make_row_mesh(n_devices)
+        rs = shard_csr_ring(csr, mesh)
+        x = rng.vector(n)
+        y = np.asarray(spmv_csr_ring(rs, x, mesh))
+        assert spmv_matches(y, csr, x, rel_tol=1e-5)
+        rep = ring_traffic_report(rs)
+        assert rep["ring_wins"]
+        # halo of a 5-point band crosses at most ~4 columns per boundary
+        assert rep["compression"] > 5.0
+
+    @needs_multi
+    def test_ring_traffic_fields(self, rng, n_devices):
+        from tpu_spmv.parallel import ring_traffic_report, shard_csr_ring
+
+        csr = rng.power_law_csr(256, 256, avg_nnz=5.0)
+        rs = shard_csr_ring(csr, make_row_mesh(n_devices))
+        rep = ring_traffic_report(rs)
+        for k in ("replicate_bytes", "ring_bytes",
+                  "ideal_pairwise_bytes", "compression", "ring_wins"):
+            assert k in rep
+        assert rep["ring_bytes"] > 0
+
+    def test_ring_single_device(self, rng):
+        from tpu_spmv.parallel import shard_csr_ring, spmv_csr_ring
+
+        mesh = make_row_mesh(1)
+        csr = csr_from_dense(rng.dense_matrix(60, 50, 0.2))
+        x = rng.vector(50)
+        rs = shard_csr_ring(csr, mesh)
+        y = np.asarray(spmv_csr_ring(rs, x, mesh))
+        assert spmv_matches(y, csr, x)

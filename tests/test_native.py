@@ -126,15 +126,19 @@ def test_plan_native_numpy_equivalence(rng):
     from tpu_spmv.kernels.window_ell import WindowEllPlan
 
     csr = rng.power_law_csr(5000, 3000, avg_nnz=10, alpha=1.6)
-    plan_native = WindowEllPlan.build(csr, split_rows=128)
-
-    os.environ["TPU_SPMV_NO_NATIVE"] = "1"
+    # the content-aware lane balancer is a native-only optimization pass
+    # (NumPy fallback skips it); disable it so the remaining primitives
+    # can be compared bit-for-bit
+    os.environ["TPU_SPMV_NO_BALANCE"] = "1"
     try:
+        plan_native = WindowEllPlan.build(csr, split_rows=128)
+        os.environ["TPU_SPMV_NO_NATIVE"] = "1"
         importlib.reload(native_mod)
         assert not native_mod.available()
         plan_numpy = WindowEllPlan.build(csr, split_rows=128)
     finally:
         del os.environ["TPU_SPMV_NO_NATIVE"]
+        del os.environ["TPU_SPMV_NO_BALANCE"]
         importlib.reload(native_mod)
         assert native_mod.available()
 

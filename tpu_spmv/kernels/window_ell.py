@@ -223,7 +223,7 @@ class WindowEllPlan:
 
     @staticmethod
     def build(csr: CSRMatrix, split_rows: int | None = None,
-              step_groups: int | None = None, cap_slack: int = 0,
+              step_groups: int | None = None, cap_slack: int = 1,
               cap_margin: float = 0.3, spill_rounds: int = 1,
               max_inflation: float = 64.0, sup: int | None = None,
               device=None) -> "WindowEllPlan":
@@ -380,12 +380,36 @@ class WindowEllPlan:
             perm = np.lexsort((extra_to_row, k_within))
             inv_perm = np.empty(n_extra, np.int64)
             inv_perm[perm] = np.arange(n_extra, dtype=np.int64)
+            extra_to_row = extra_to_row[perm]
             is_extra = pos >= extras_base
             if is_extra.any():
+                from ..native import balance_extra_lanes
+
+                # round-3: content-aware LANE assignment within each
+                # 128-index block — 2-choice greedy on projected cell
+                # depths (native pass; no-op without the library).  The
+                # interleave spreads a row's extras across superblocks;
+                # the balancer additionally spreads hot content chunks
+                # across lanes so they stop stacking layers.
                 safe_idx = np.clip(pos - extras_base, 0, n_extra - 1)
+                ie = inv_perm[safe_idx][is_extra]
+                cnt_i = np.bincount(ie, minlength=n_extra)
+                ptr_i = np.zeros(n_extra + 1, np.int64)
+                np.cumsum(cnt_i, out=ptr_i[1:])
+                wc_arr = np.empty(len(ie), np.int64)
+                wc_arr[ptr_i[ie] + _cumcount(ie)] = \
+                    w[is_extra] * CHUNKS + c[is_extra]
+                lanes = balance_extra_lanes(ptr_i, wc_arr,
+                                            n_windows * CHUNKS)
+                if lanes is not None:
+                    i2 = (np.arange(n_extra, dtype=np.int64) // LANE) \
+                        * LANE + lanes
+                    inv_perm = i2[inv_perm]
+                    e2r_new = np.empty(n_extra, extra_to_row.dtype)
+                    e2r_new[i2] = extra_to_row
+                    extra_to_row = e2r_new
                 pos = np.where(is_extra, extras_base + inv_perm[safe_idx],
                                pos)
-            extra_to_row = extra_to_row[perm]
             # fold the combine into the kernel, in up to TWO levels.  A
             # heavy row's K extras all target one output lane (row %
             # 128), so a flat combine would need K distinct table chunks

@@ -379,6 +379,69 @@ void* mtx_open(const char* path, int32_t* num_rows, int32_t* num_cols,
   return d;
 }
 
+
+
+// ---- content-aware extras lane balancing (round 3) ----
+//
+// The extras region's occupancy is limited by hot content cells: many
+// extra rows carry nonzeros from the same (window, chunk) columns, and
+// with lanes assigned by index order those nonzeros stack layers.  This
+// pass reassigns each extra's LANE within its fixed 128-index block by
+// two-choice greedy balancing on the projected cell depths
+// D[(sup, window*8+chunk, lane)], spreading hot chunks across lanes.
+// ext_ptr (n_extra+1) / ext_wc: per-extra content lists (wc = w*8+c).
+// The last (partial) block is constrained to lanes [0, count) so the
+// index space stays dense.  Deterministic (fixed LCG).
+void balance_extra_lanes_i64(int64_t n_extra, const int64_t* ext_ptr,
+                             const int64_t* ext_wc, int64_t n_wc,
+                             int64_t* out_lane) {
+  if (n_extra <= 0) return;
+  const int64_t n_sups = (n_extra + 1023) / 1024;
+  std::vector<int32_t> depth(static_cast<size_t>(n_sups) * n_wc * 128, 0);
+  const int64_t n_blocks = (n_extra + 127) / 128;
+  uint64_t rng = 0x243F6A8885A308D3ull;
+  std::vector<int> order(128), free_lanes(128);
+  for (int64_t b = 0; b < n_blocks; ++b) {
+    const int64_t e0 = b * 128;
+    const int count = static_cast<int>(std::min<int64_t>(128, n_extra - e0));
+    const int64_t sup = b / 8;
+    int32_t* D = depth.data() + static_cast<size_t>(sup) * n_wc * 128;
+    order.resize(count);
+    for (int k = 0; k < count; ++k) order[k] = k;
+    std::sort(order.begin(), order.end(), [&](int a, int c2) {
+      int64_t la = ext_ptr[e0 + a + 1] - ext_ptr[e0 + a];
+      int64_t lc = ext_ptr[e0 + c2 + 1] - ext_ptr[e0 + c2];
+      return la != lc ? la > lc : a < c2;
+    });
+    free_lanes.resize(count);
+    for (int k = 0; k < count; ++k) free_lanes[k] = k;
+    int nfree = count;
+    for (int k = 0; k < count; ++k) {
+      const int64_t e = e0 + order[k];
+      rng = rng * 6364136223846793005ull + 1442695040888963407ull;
+      int i1 = static_cast<int>((rng >> 33) % nfree);
+      rng = rng * 6364136223846793005ull + 1442695040888963407ull;
+      int i2 = static_cast<int>((rng >> 33) % nfree);
+      int cand[2] = {free_lanes[i1], free_lanes[i2]};
+      int64_t score[2] = {0, 0};
+      for (int64_t j = ext_ptr[e]; j < ext_ptr[e + 1]; ++j) {
+        const int64_t base = ext_wc[j] * 128;
+        int32_t d0 = D[base + cand[0]];
+        int32_t d1 = D[base + cand[1]];
+        score[0] += static_cast<int64_t>(d0) * d0;
+        score[1] += static_cast<int64_t>(d1) * d1;
+      }
+      const int pick = score[1] < score[0] ? 1 : 0;
+      const int lane = cand[pick];
+      out_lane[e] = lane;
+      const int fi = pick ? i2 : i1;
+      free_lanes[fi] = free_lanes[--nfree];
+      for (int64_t j = ext_ptr[e]; j < ext_ptr[e + 1]; ++j)
+        D[ext_wc[j] * 128 + lane] += 1;
+    }
+  }
+}
+
 void mtx_fetch(void* handle, int32_t* rows, int32_t* cols, float* vals) {
   auto* d = static_cast<MtxData*>(handle);
   std::memcpy(rows, d->rows.data(), d->rows.size() * sizeof(int32_t));

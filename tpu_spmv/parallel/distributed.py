@@ -374,37 +374,13 @@ class ShardedWindowEll:
         return int(self.leaves[0].shape[0])
 
 
-def shard_csr_packed(A: CSRMatrix, mesh: Mesh, axis_name: str = "rows",
-                     split_rows: int | None = 128) -> ShardedWindowEll:
-    """Partition rows over ``mesh`` and pack each block with the window-ELL
-    planner.  Raises :class:`WindowEllOverflow` (propagated) if any shard's
-    structure rejects the packed layout — callers fall back to
-    :func:`shard_csr` + the flat path."""
-    from ..kernels.window_ell import WindowEllPlan, _choose_sup
-
-    n_shards = int(mesh.shape[axis_name])
-    rows = A.num_rows
-    ptr = A.row_ptrs
-    bounds = _nnz_balanced_bounds(ptr, n_shards)
-    rps = max(int(np.diff(bounds).max(initial=0)), 1)
-    # the superblock height is part of the kernel's static signature, so
-    # pick it once from the whole matrix and build every shard with it
-    sup = _choose_sup(A)
-    plans = []
-    for d in range(n_shards):
-        r0, r1 = int(bounds[d]), int(bounds[d + 1])
-        lo, hi = int(ptr[r0]), int(ptr[r1])
-        local_ptr = np.zeros(rps + 1, np.int32)
-        local_ptr[: r1 - r0 + 1] = ptr[r0:r1 + 1] - ptr[r0]
-        local_ptr[r1 - r0 + 1:] = local_ptr[r1 - r0]
-        sub = CSRMatrix(rps, A.num_cols, A.values[lo:hi],
-                        A.col_indices[lo:hi], local_ptr)
-        plans.append(WindowEllPlan.build(sub, split_rows=split_rows,
-                                         sup=sup))
-
-    # pad all plans to common leaf shapes (no-op semantics):
-    #   blk_step -> -1 (dead steps);  fin_step -> 0
-    #   slot arrays -> zero slots;  wg/base -> zeros;  extra_to_row -> pad
+def _stack_plans(plans, rps: int, num_cols: int):
+    """Pad a list of WindowEllPlans to common leaf shapes (no-op
+    semantics: ``blk_step`` -> -1 dead steps, ``fin_step`` -> 0, slot
+    arrays -> zero slots) and stack them, returning ``(stacked, aux)``
+    where ``aux`` is the shared static tuple every padded plan
+    reconstructs under (``extras_base`` depends only on ``rps``, so it is
+    plan-invariant; ``e8``/``out8``/``n_extra`` take the maxima)."""
     from ..kernels.window_ell import T_BASE
 
     e8 = max(p.e8 for p in plans)
@@ -437,13 +413,44 @@ def shard_csr_packed(A: CSRMatrix, mesh: Mesh, axis_name: str = "rows",
         e2r[: p.n_extra] = np.asarray(p.extra_to_row)
         return (vals, lo, sb, wg, base, blk, fin, e2r)
 
-    stacked = [np.stack(arrs) for arrs in zip(*(pad_plan(p) for p in plans))]
+    stacked = [np.stack(arrs)
+               for arrs in zip(*(pad_plan(p) for p in plans))]
     p0 = plans[0]
-    # extras_base depends only on rps, so it is shard-invariant; e8/out8
-    # take the shard maxima (out8 = extras_base/128 + e8 stays consistent)
-    plan_aux = (rps, A.num_cols, p0.extras_base, n_extra, e8, out8,
+    plan_aux = (rps, num_cols, p0.extras_base, n_extra, e8, out8,
                 p0.cols_pad, p0.step_groups, p0.split_rows, p0.sup, 0.0,
                 p0.sbn)
+    return stacked, plan_aux
+
+
+def shard_csr_packed(A: CSRMatrix, mesh: Mesh, axis_name: str = "rows",
+                     split_rows: int | None = 128) -> ShardedWindowEll:
+    """Partition rows over ``mesh`` and pack each block with the window-ELL
+    planner.  Raises :class:`WindowEllOverflow` (propagated) if any shard's
+    structure rejects the packed layout — callers fall back to
+    :func:`shard_csr` + the flat path."""
+    from ..kernels.window_ell import WindowEllPlan, _choose_sup
+
+    n_shards = int(mesh.shape[axis_name])
+    rows = A.num_rows
+    ptr = A.row_ptrs
+    bounds = _nnz_balanced_bounds(ptr, n_shards)
+    rps = max(int(np.diff(bounds).max(initial=0)), 1)
+    # the superblock height is part of the kernel's static signature, so
+    # pick it once from the whole matrix and build every shard with it
+    sup = _choose_sup(A)
+    plans = []
+    for d in range(n_shards):
+        r0, r1 = int(bounds[d]), int(bounds[d + 1])
+        lo, hi = int(ptr[r0]), int(ptr[r1])
+        local_ptr = np.zeros(rps + 1, np.int32)
+        local_ptr[: r1 - r0 + 1] = ptr[r0:r1 + 1] - ptr[r0]
+        local_ptr[r1 - r0 + 1:] = local_ptr[r1 - r0]
+        sub = CSRMatrix(rps, A.num_cols, A.values[lo:hi],
+                        A.col_indices[lo:hi], local_ptr)
+        plans.append(WindowEllPlan.build(sub, split_rows=split_rows,
+                                         sup=sup))
+
+    stacked, plan_aux = _stack_plans(plans, rps, A.num_cols)
     leaves = tuple(
         jax.device_put(jnp.asarray(a),
                        NamedSharding(mesh, P(axis_name,
@@ -502,3 +509,272 @@ def spmv_csr_sharded_packed(sp: ShardedWindowEll, x,
     fn = _sharded_packed_fn(mesh, axis_name, sp.plan_aux)
     y = fn(x, *sp.leaves)
     return _stitch_rows(y, sp.bounds, sp.rows_per_shard)
+
+
+# ---- ring-pipelined x exchange (round 3: stop replicating x) ----
+#
+# The replicated path ships ALL of x to every shard up front (an
+# all-gather's worth of DCN/ICI traffic, serialized before compute).
+# The ring path keeps x row-sharded like the matrix: each shard packs
+# the slice of its x block that OTHER shards actually reference (the
+# column footprint — hub columns naturally included, private columns
+# never travel), and the packed slices rotate around the mesh with
+# ``lax.ppermute`` while each shard runs the packed Pallas kernel on
+# the block-pair plan for the slice it currently holds — the classic
+# ring SpMV, with communication overlapped against compute by XLA's
+# async collectives.  See :func:`ring_traffic_report` for the byte
+# model that decides when this beats replication.
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class RingShardedCSR:
+    """Row-partitioned CSR with per-(shard, source) block-pair plans.
+
+    ``diag_leaves`` hold each shard's plan for its own column block
+    (computed from the local x, no communication); ``ring_leaves`` hold,
+    per shard, the ``n-1`` plans for the successive sources in ring
+    order (step ``r`` uses source ``(d - r) mod n``), built against the
+    source's PACKED column footprint.  ``pack_idx`` are the block-local
+    column indices each shard packs before the rotation."""
+
+    diag_leaves: tuple
+    diag_aux: tuple
+    ring_leaves: tuple       # stacked (n, n-1, ...)
+    ring_aux: tuple
+    pack_idx: jax.Array      # i32 (n, u_max) block-local columns
+    num_rows: int
+    num_cols: int
+    nnz: int
+    rows_per_shard: int
+    cols_per_shard: int
+    u_max: int
+    bounds: tuple            # row bounds (n+1)
+    col_bounds: tuple        # x block bounds (n+1)
+    shard_nnz: tuple = ()
+    pack_len: tuple = ()     # true footprint size per source block
+
+    @property
+    def n_shards(self) -> int:
+        return int(self.pack_idx.shape[0])
+
+    @property
+    def nnz_imbalance(self) -> float:
+        return _imbalance_of(self.shard_nnz)
+
+    def tree_flatten(self):
+        return (self.diag_leaves, self.ring_leaves, self.pack_idx), \
+            (self.diag_aux, self.ring_aux, self.num_rows, self.num_cols,
+             self.nnz, self.rows_per_shard, self.cols_per_shard,
+             self.u_max, self.bounds, self.col_bounds, self.shard_nnz,
+             self.pack_len)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(tuple(children[0]), aux[0], tuple(children[1]), aux[1],
+                   children[2], *aux[2:])
+
+
+def _sub_block_csr(A: CSRMatrix, r0: int, r1: int, rps: int,
+                   col_sel: np.ndarray, col_map: np.ndarray,
+                   num_cols: int) -> CSRMatrix:
+    """Rows [r0, r1) of A restricted to the selected columns, with the
+    columns remapped through ``col_map`` and the row frame padded to
+    ``rps`` rows."""
+    ptr = A.row_ptrs
+    lo, hi = int(ptr[r0]), int(ptr[r1])
+    cols = A.col_indices[lo:hi]
+    vals = A.values[lo:hi]
+    keep = col_sel[cols]
+    rows_of = np.repeat(np.arange(r1 - r0, dtype=np.int64),
+                        np.diff(ptr[r0:r1 + 1]).astype(np.int64))[keep]
+    new_ptr = np.zeros(rps + 1, np.int32)
+    np.cumsum(np.bincount(rows_of, minlength=rps), out=new_ptr[1:])
+    return CSRMatrix(rps, num_cols, vals[keep],
+                     col_map[cols[keep]].astype(np.int32), new_ptr)
+
+
+def shard_csr_ring(A: CSRMatrix, mesh: Mesh, axis_name: str = "rows",
+                   split_rows: int | None = 128) -> RingShardedCSR:
+    """Build the ring-sharded form: nnz-balanced row blocks, even x
+    column blocks, per-(shard, source) packed plans over compressed
+    column footprints.  Raises WindowEllOverflow if any pair rejects the
+    packed layout (callers fall back to the replicated paths)."""
+    from ..kernels.window_ell import WindowEllPlan
+
+    n = int(mesh.shape[axis_name])
+    ptr = A.row_ptrs
+    bounds = _nnz_balanced_bounds(ptr, n)
+    rps = max(int(np.diff(bounds).max(initial=0)), 1)
+    cps = -(-max(A.num_cols, 1) // n)
+    col_bounds = np.minimum(np.arange(n + 1, dtype=np.int64) * cps,
+                            A.num_cols)
+
+    # column footprints: for each source block e, the set of its columns
+    # referenced by any OTHER shard (diagonal use never travels)
+    src_of_col = np.minimum(A.col_indices // cps, n - 1).astype(np.int64)
+    used = np.zeros((n, A.num_cols), np.bool_)
+    for d in range(n):
+        lo, hi = int(ptr[bounds[d]]), int(ptr[bounds[d + 1]])
+        cols_d = A.col_indices[lo:hi]
+        mask = src_of_col[lo:hi] != d
+        used[d, cols_d[mask]] = True
+    any_used = used.any(axis=0)
+    pack_lists = []
+    for e in range(n):
+        c0, c1 = int(col_bounds[e]), int(col_bounds[e + 1])
+        pack_lists.append(np.nonzero(any_used[c0:c1])[0].astype(np.int64))
+    u_max = max(max((len(p) for p in pack_lists), default=0), 1)
+    # the rotating buffer is an ordinary array — no 1024-column bucket
+    # needed (the kernel pads x to cols_pad internally), so keep the
+    # padding tiny to preserve the footprint compression
+    u_pad = -(-u_max // 8) * 8
+    pack_idx = np.zeros((n, u_pad), np.int32)
+    col_map = np.zeros(A.num_cols, np.int64)     # global col -> packed
+    col_sel_other = np.zeros(A.num_cols, np.bool_)
+    for e in range(n):
+        c0 = int(col_bounds[e])
+        pack_idx[e, : len(pack_lists[e])] = pack_lists[e]
+        col_map[c0 + pack_lists[e]] = np.arange(len(pack_lists[e]))
+        col_sel_other[c0 + pack_lists[e]] = True
+
+    diag_plans, ring_plans = [], []
+    ident = np.arange(A.num_cols, dtype=np.int64)
+    for d in range(n):
+        r0, r1 = int(bounds[d]), int(bounds[d + 1])
+        c0, c1 = int(col_bounds[d]), int(col_bounds[d + 1])
+        sel = np.zeros(A.num_cols, np.bool_)
+        sel[c0:c1] = True
+        sub = _sub_block_csr(A, r0, r1, rps, sel, ident - c0, cps)
+        diag_plans.append(WindowEllPlan.build(sub, split_rows=split_rows,
+                                              sup=1024))
+        steps = []
+        for r in range(1, n):
+            e = (d - r) % n
+            e0, e1 = int(col_bounds[e]), int(col_bounds[e + 1])
+            sel = np.zeros(A.num_cols, np.bool_)
+            sel[e0:e1] = col_sel_other[e0:e1]
+            sub = _sub_block_csr(A, r0, r1, rps, sel, col_map, u_pad)
+            steps.append(WindowEllPlan.build(sub, split_rows=split_rows,
+                                             sup=1024))
+        ring_plans.append(steps)
+
+    diag_stacked, diag_aux = _stack_plans(diag_plans, rps, cps)
+    flat = [p for steps in ring_plans for p in steps]
+    if flat:
+        ring_stacked, ring_aux = _stack_plans(flat, rps, u_pad)
+        ring_stacked = [a.reshape((n, n - 1) + a.shape[1:])
+                        for a in ring_stacked]
+    else:  # n == 1: no ring steps
+        ring_stacked, ring_aux = [np.zeros((1, 0))] * 8, diag_aux
+
+    def put(a, extra_dims):
+        return jax.device_put(
+            jnp.asarray(a),
+            NamedSharding(mesh, P(axis_name, *([None] * extra_dims))))
+
+    shard_nnz = ptr[bounds[1:]] - ptr[bounds[:-1]]
+    return RingShardedCSR(
+        diag_leaves=tuple(put(a, a.ndim - 1) for a in diag_stacked),
+        diag_aux=diag_aux,
+        ring_leaves=tuple(put(a, a.ndim - 1) for a in ring_stacked),
+        ring_aux=ring_aux,
+        pack_idx=put(pack_idx, 1),
+        num_rows=A.num_rows, num_cols=A.num_cols, nnz=A.nnz,
+        rows_per_shard=rps, cols_per_shard=cps, u_max=u_pad,
+        bounds=tuple(int(b) for b in bounds),
+        col_bounds=tuple(int(b) for b in col_bounds),
+        shard_nnz=tuple(int(v) for v in shard_nnz),
+        pack_len=tuple(len(p) for p in pack_lists))
+
+
+def ring_traffic_report(rs: RingShardedCSR) -> dict:
+    """ICI/DCN byte model per SpMV, per device — the honest comparison
+    the virtual mesh cannot time (BASELINE.md 1->4-host target):
+
+    * ``replicate``: all-gather of x before compute — each device
+      receives the other shards' blocks ((n-1)/n of x), serialized
+      before any flop.
+    * ``ring``: n-1 ppermute hops of the PACKED slice, each overlapped
+      with the previous step's kernel.
+    * ``ideal_pairwise``: lower bound if every (shard, source) pair
+      shipped exactly its own footprint (all-to-all).
+    """
+    n = rs.n_shards
+    if n <= 1:
+        return {"n_shards": 1, "replicate_bytes": 0, "ring_bytes": 0,
+                "ideal_pairwise_bytes": 0, "compression": 1.0,
+                "ring_wins": False}
+    replicate = (n - 1) * rs.cols_per_shard * 4
+    ring = (n - 1) * rs.u_max * 4
+    ideal = 0  # not tracked per pair in the packed form; footprint bound:
+    ideal = (n - 1) * int(np.mean(rs.pack_len)) * 4
+    return {
+        "n_shards": n,
+        "replicate_bytes": int(replicate),
+        "ring_bytes": int(ring),
+        "ideal_pairwise_bytes": int(ideal),
+        "compression": float(replicate / max(ring, 1)),
+        "ring_wins": bool(ring < replicate),
+        "overlapped": True,
+    }
+
+
+@functools.lru_cache(maxsize=32)
+def _ring_spmv_fn(mesh: Mesh, axis_name: str, diag_aux: tuple,
+                  ring_aux: tuple, n_shards: int, cps: int, u_max: int):
+    from ..kernels.window_ell import WindowEllPlan, _spmv_window_ell, \
+        _use_interpret
+
+    interp = _use_interpret()
+    vma = None if interp else frozenset({axis_name})
+    perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+
+    def local(xblk, pidx, diag_leaves, ring_leaves):
+        xloc = xblk[0]
+        diag = WindowEllPlan.tree_unflatten(
+            diag_aux, tuple(a[0] for a in diag_leaves))
+        y = _spmv_window_ell(diag, xloc[:cps], vma=vma)
+        if n_shards == 1:
+            return y[None]
+        buf = jnp.take(xloc, pidx[0], mode="clip")
+
+        def step(carry, leaves_r):
+            y, buf = carry
+            buf = jax.lax.ppermute(buf, axis_name, perm)
+            plan = WindowEllPlan.tree_unflatten(ring_aux, leaves_r)
+            y = y + _spmv_window_ell(plan, buf, vma=vma)
+            return (y, buf), 0
+
+        ring_local = tuple(a[0] for a in ring_leaves)
+        (y, _), _ = jax.lax.scan(step, (y, buf), ring_local)
+        return y[None]
+
+    def mapped(xblk, pidx, diag_leaves, ring_leaves):
+        return shard_map(
+            lambda xb, pi, *ls: local(xb, pi, ls[:8], ls[8:]),
+            mesh=mesh,
+            in_specs=(P(axis_name, None), P(axis_name, None))
+            + tuple(P(axis_name) for _ in range(16)),
+            out_specs=P(axis_name),
+            check_vma=not interp,
+        )(xblk, pidx, *diag_leaves, *ring_leaves)
+
+    return jax.jit(mapped)
+
+
+def spmv_csr_ring(rs: RingShardedCSR, x, mesh: Mesh | None = None,
+                  axis_name: str = "rows") -> jax.Array:
+    """``y = A @ x`` with x row-sharded and ring-exchanged (packed
+    footprint slices over ``ppermute``); returns the stitched
+    ``(num_rows,)`` result."""
+    x = jnp.asarray(x, jnp.float32)
+    if mesh is None:
+        mesh = rs.pack_idx.sharding.mesh
+    n = rs.n_shards
+    xpad = jnp.pad(x, (0, n * rs.cols_per_shard - x.shape[0]))
+    xblk = xpad.reshape(n, rs.cols_per_shard)
+    fn = _ring_spmv_fn(mesh, axis_name, rs.diag_aux, rs.ring_aux, n,
+                       rs.cols_per_shard, rs.u_max)
+    y = fn(xblk, rs.pack_idx, rs.diag_leaves, rs.ring_leaves)
+    return _stitch_rows(y.reshape(-1), rs.bounds, rs.rows_per_shard)
