@@ -66,10 +66,11 @@ def main() -> int:
     ok = spmv_matches(y, csr, np.asarray(x), rel_tol=1e-5)
     log(f"correctness vs CPU oracle: {'OK' if ok else 'FAIL'}")
 
-    # ---- timings (min of two independent slope measurements — the
-    # recorded metric should reflect the kernel, not tunnel jitter) ----
+    # ---- timings (min of four independent slope measurements — the
+    # recorded metric should reflect the kernel, not tunnel jitter or
+    # HBM clock state; measured spread across sessions is ~8%) ----
     secs = min(time_jitted(spmv_window_ell, plan, x, iters=300)
-               for _ in range(2))
+               for _ in range(4))
     model_bytes = csr.nnz * 8 + (rows + 1) * 4 + cols * 4 + rows * 4
     spmv_gbs = model_bytes / secs / 1e9
     gflops = 2.0 * csr.nnz / secs / 1e9

@@ -265,13 +265,11 @@ class WindowEllPlan:
         cols_pad = _bucket(max(csr.num_cols, 1))
         n_windows = cols_pad // WINDOW
         if step_groups is None:
-            # 256 measured best on v5e (fewer grid steps); 128 in wide
-            # mode where the VMEM budget is tight; small steps keep
+            # 128 measured best on v5e round 3 (152 vs 164 us at 256 and
+            # 219 at 64 on the headline — smaller blocks cut the section
+            # padding and pipeline better); small steps keep
             # interpret-mode (CPU test) tracing cheap
-            if _use_interpret():
-                step_groups = 8
-            else:
-                step_groups = 128 if sup_rows >= 4096 else 256
+            step_groups = 8 if _use_interpret() else 128
         # Normalize to a kernel-legal step width: the sub-tile loop runs
         # S // T_SUB full tiles and each tile folds T_SUB // T_BASE base
         # runs, so any S that is neither 8 nor a multiple of T_SUB would
@@ -342,6 +340,31 @@ class WindowEllPlan:
                     -(-(cnt + (cnt * cap_margin).astype(np.int64))
                       // (CHUNKS * LANE)),
                     -(-cnt // (CHUNKS * LANE))) + cap_slack
+                # absorb run padding as layer capacity (round 3): the
+                # group order pads each superblock's group count to a
+                # multiple of T_BASE with zero-slot groups; raising the
+                # deepest bucket's cap by that deficit converts pure
+                # padding into spill capacity (fewer extras at the same
+                # streamed bytes).  Approximate — the later extras/
+                # combine buckets shift the counts a little — but most
+                # of the padding converts.
+                lmax_b = np.zeros(len(ubw), np.int64)
+                np.maximum.at(lmax_b, inv, layer + 1)
+                used = np.minimum(lmax_b, cap)
+                sup_b = ubw // n_windows
+                usup, sup_binv = np.unique(sup_b, return_inverse=True)
+                cnt_sup = np.zeros(len(usup), np.int64)
+                np.add.at(cnt_sup, sup_binv, used)
+                deficit = (-cnt_sup) % T_BASE
+                excess = lmax_b - cap
+                if deficit.any():
+                    order = np.lexsort((-excess, sup_binv))
+                    first = order[_cumcount(sup_binv[order]) == 0]
+                    add = np.minimum(np.maximum(excess[first], 0),
+                                     deficit)
+                    cap2 = cap.copy()
+                    cap2[first] += add
+                    cap = cap2
                 spilled = layer >= cap[inv]
                 if not spilled.any():
                     break
