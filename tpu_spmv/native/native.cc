@@ -418,24 +418,25 @@ void balance_extra_lanes_i64(int64_t n_extra, const int64_t* ext_ptr,
     int nfree = count;
     for (int k = 0; k < count; ++k) {
       const int64_t e = e0 + order[k];
-      rng = rng * 6364136223846793005ull + 1442695040888963407ull;
-      int i1 = static_cast<int>((rng >> 33) % nfree);
-      rng = rng * 6364136223846793005ull + 1442695040888963407ull;
-      int i2 = static_cast<int>((rng >> 33) % nfree);
-      int cand[2] = {free_lanes[i1], free_lanes[i2]};
-      int64_t score[2] = {0, 0};
-      for (int64_t j = ext_ptr[e]; j < ext_ptr[e + 1]; ++j) {
-        const int64_t base = ext_wc[j] * 128;
-        int32_t d0 = D[base + cand[0]];
-        int32_t d1 = D[base + cand[1]];
-        score[0] += static_cast<int64_t>(d0) * d0;
-        score[1] += static_cast<int64_t>(d1) * d1;
+      // exhaustive over the remaining free lanes (greedy min-cost
+      // assignment; content lists are short, so this is cheap)
+      int best_t = 0;
+      int64_t best_score = INT64_MAX;
+      for (int t = 0; t < nfree; ++t) {
+        const int cand = free_lanes[t];
+        int64_t sc = 0;
+        for (int64_t j = ext_ptr[e]; j < ext_ptr[e + 1]; ++j) {
+          const int32_t d = D[ext_wc[j] * 128 + cand];
+          sc += static_cast<int64_t>(d) * d;
+        }
+        if (sc < best_score) {
+          best_score = sc;
+          best_t = t;
+        }
       }
-      const int pick = score[1] < score[0] ? 1 : 0;
-      const int lane = cand[pick];
+      const int lane = free_lanes[best_t];
       out_lane[e] = lane;
-      const int fi = pick ? i2 : i1;
-      free_lanes[fi] = free_lanes[--nfree];
+      free_lanes[best_t] = free_lanes[--nfree];
       for (int64_t j = ext_ptr[e]; j < ext_ptr[e + 1]; ++j)
         D[ext_wc[j] * 128 + lane] += 1;
     }
