@@ -626,17 +626,20 @@ class WindowEllPlan:
             pairs = sb.reshape(n_groups_pad // 2, 2, CHUNKS, LANE)
             sb = (pairs[:, 0] | (pairs[:, 1] << 4)).reshape(-1, LANE)
 
+        # device_put straight from NumPy: jnp.asarray would materialize
+        # on the DEFAULT device first, which round-trips every leaf
+        # through the accelerator when targeting another device
         put = (lambda a: jax.device_put(a, device)) if device is not None \
             else jax.device_put
         return WindowEllPlan(
-            vals=put(jnp.asarray(vals)),
-            lo=put(jnp.asarray(lo)),
-            sb=put(jnp.asarray(sb)),
-            wg=put(jnp.asarray(wg_arr.astype(np.int32))),
-            base=put(jnp.asarray(base)),
-            blk_step=put(jnp.asarray(blk)),
-            fin_step=put(jnp.asarray(fin)),
-            extra_to_row=put(jnp.asarray(extra_to_row.astype(np.int32))),
+            vals=put(vals),
+            lo=put(lo),
+            sb=put(sb),
+            wg=put(wg_arr.astype(np.int32)),
+            base=put(base),
+            blk_step=put(blk),
+            fin_step=put(fin),
+            extra_to_row=put(extra_to_row.astype(np.int32)),
             num_rows=rows,
             num_cols=csr.num_cols,
             extras_base=int(extras_base),

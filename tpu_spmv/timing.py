@@ -90,11 +90,17 @@ def _run(looped, args) -> float:
 
 
 def time_jitted(fn: Callable, *args, iters: int | None = None,
-                warmup: bool = True) -> float:
+                warmup: bool = True, samples: int = 2,
+                estimator: str = "min") -> float:
     """Seconds per execution of ``fn(*args)`` (see module docstring).
 
     ``iters`` optionally pins the base loop length; by default it is
     calibrated so the differenced measurement covers ~250 ms of real work.
+    ``estimator="median"`` takes the median over ``samples`` slope pairs
+    instead of the min — robust when the device's throughput state flips
+    BETWEEN the T(n) and T(3n) runs (a phase flip makes a single
+    differenced slope arbitrarily wrong in either direction; the
+    shared tunnel chip shows ~15% bimodal phases).
     """
     if iters is None:
         probe = _make_loop(fn, 4)
@@ -106,16 +112,18 @@ def time_jitted(fn: Callable, *args, iters: int | None = None,
     f3 = _make_loop(fn, 3 * iters)
     _run(f1, args)                        # compile + warm
     _run(f3, args)
-    best = None
-    for _ in range(2):                    # two slope estimates, keep best
+    slopes = []
+    for _ in range(max(samples, 1)):
         t1 = _run(f1, args)
         t3 = _run(f3, args)
         dt = (t3 - t1) / (2 * iters)
-        if dt > 0 and (best is None or dt < best):
-            best = dt
-    if best is None:                      # degenerate (work below jitter)
-        best = max((_run(f3, args) - _DISPATCH_FLOOR_S) / (3 * iters), 1e-9)
-    return best
+        if dt > 0:
+            slopes.append(dt)
+    if not slopes:                        # degenerate (work below jitter)
+        return max((_run(f3, args) - _DISPATCH_FLOOR_S) / (3 * iters), 1e-9)
+    if estimator == "median":
+        return float(np.median(slopes))
+    return min(slopes)
 
 
 def time_runs(fn: Callable, *args, num_runs: int = 20,
