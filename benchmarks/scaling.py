@@ -42,8 +42,10 @@ def main(argv=None):
     import numpy as np
 
     from tpu_spmv.kernels.window_ell import WindowEllOverflow
-    from tpu_spmv.parallel import (make_row_mesh, shard_csr,
-                                   shard_csr_packed, spmv_csr_sharded,
+    from tpu_spmv.parallel import (make_row_mesh, ring_traffic_report,
+                                   shard_csr, shard_csr_packed,
+                                   shard_csr_ring, spmv_csr_ring,
+                                   spmv_csr_sharded,
                                    spmv_csr_sharded_packed)
     from tpu_spmv.timing import time_jitted
     from tpu_spmv.utils.testing import RandomGenerator, spmv_matches
@@ -83,14 +85,28 @@ def main(argv=None):
         # process CPU backend serializes shard execution; on real
         # multi-chip ICI the wall-clock column is the one that counts.
         balance = 1.0 / (1.0 + imb)
+        # ring path (round 3): x row-sharded, packed footprint slices
+        # ppermuted; report the ICI/DCN byte model next to correctness
+        try:
+            rs = shard_csr_ring(csr, mesh)
+            yr = np.asarray(spmv_csr_ring(rs, x, mesh))
+            ring_ok = spmv_matches(yr, csr, x, rel_tol=1e-5)
+            traffic = ring_traffic_report(rs)
+        except WindowEllOverflow:
+            ring_ok, traffic = None, None
         rows_out.append({"devices": d, "gnnz_per_s": nnz_s / 1e9,
                          "efficiency_wall": eff,
                          "efficiency_balance": balance,
                          "nnz_imbalance": imb,
-                         "correct": bool(ok)})
+                         "correct": bool(ok),
+                         "ring_correct": ring_ok,
+                         "ring_traffic": traffic})
+        comp = "n/a" if not traffic else \
+            f"{traffic['compression']:.2f}x compression"
         print(f"  {d:2d} dev: {secs*1e6:9.1f} us  {nnz_s/1e9:7.2f} Gnnz/s  "
               f"eff(wall) {eff:5.2f}  eff(balance) {balance:5.2f}  "
-              f"imbalance {imb:5.1%}  correct={ok}", file=sys.stderr)
+              f"imbalance {imb:5.1%}  correct={ok}  ring={ring_ok} "
+              f"({comp})", file=sys.stderr)
     if args.json:
         print(json.dumps(rows_out))
     if args.out:
