@@ -91,7 +91,6 @@ def main() -> int:
         + (plan.cols_pad + plan.e8 * 128 + plan.out8 * 128) * 4
 
     def measure_headline(tag):
-        s = None
         for _ in range(3):
             s = time_jitted(spmv_window_ell, plan, x, iters=300,
                             samples=5, estimator="median")
@@ -100,11 +99,12 @@ def main() -> int:
                 return s
             log(f"  [{tag}] discarded: implies {implied:.0f} GB/s actual "
                 f"stream > STREAM {stream_gbs:.0f}")
-        return s
+        return None  # every reading failed the physics guard
 
     secs = measure_headline("this-session")
-    log(f"  this-session: {secs*1e6:.1f} us "
-        f"({actual_bytes/secs/1e9:.0f} GB/s actual)")
+    if secs is not None:
+        log(f"  this-session: {secs*1e6:.1f} us "
+            f"({actual_bytes/secs/1e9:.0f} GB/s actual)")
     # SESSION retry: the kernel's effective HBM rate is set per TPU
     # client session (the allocator slab's physical placement) — the
     # same plan measures ~590-730 GB/s actual across sessions while
@@ -117,8 +117,7 @@ def main() -> int:
         ppath = f"{td}/plan.npz"
         from tpu_spmv.plan_io import save_plan
 
-        save_plan(WindowEllPlan.tree_unflatten(
-            plan_aux, tuple(host_leaves)), ppath)
+        save_plan(plan_host, ppath)
         child = (
             "import sys; sys.path.insert(0, '.')\n"
             "import jax, jax.numpy as jnp, numpy as np\n"
@@ -145,7 +144,7 @@ def main() -> int:
             log(f"  session-{k}: {s_k*1e6:.1f} us "
                 f"({actual_bytes/s_k/1e9:.0f} GB/s actual)"
                 + ("" if ok_phys else " [discarded: super-STREAM]"))
-            if ok_phys and s_k < secs:
+            if ok_phys and (secs is None or s_k < secs):
                 secs = s_k
     model_bytes = csr.nnz * 8 + (rows + 1) * 4 + cols * 4 + rows * 4
     spmv_gbs = model_bytes / secs / 1e9
@@ -221,7 +220,14 @@ def main() -> int:
     # re-measure the headline late in the run and keep the overall min
     # of guarded measurements (spreading them in time de-biases any
     # transient slow phase)
-    secs = min(secs, measure_headline("late"))
+    late = measure_headline("late")
+    candidates = [t for t in (secs, late) if t is not None]
+    if not candidates:
+        log("every measurement failed the physics guard; "
+            "reporting one raw median reading")
+        candidates = [time_jitted(spmv_window_ell, plan, x, iters=300,
+                                  samples=5, estimator="median")]
+    secs = min(candidates)
     spmv_gbs = model_bytes / secs / 1e9
     gflops = 2.0 * csr.nnz / secs / 1e9
     log(f"final headline (min over run): {secs*1e3:.3f} ms -> "

@@ -36,15 +36,20 @@ def log(*a):
 
 
 def _uniform_csr(rng, rows: int, cols: int, nnz_per_row: int):
-    """Every row exactly ``nnz_per_row`` sorted unique columns."""
+    """Every row exactly ``nnz_per_row`` sorted unique columns.
+
+    Columns come from a per-row random arithmetic progression (random
+    start, random ODD stride — coprime to the power-of-two ``cols``, so
+    the k columns are distinct) — O(rows x k) memory, vs the previous
+    full rows x cols key matrix (~2 GB at the defaults)."""
     from tpu_spmv.csr import CSRMatrix
 
     r = rng.rng
-    cols_arr = np.empty((rows, nnz_per_row), np.int32)
-    # vectorized unique-column draw: argsort of uniform keys per row
-    keys = r.random((rows, cols), np.float32)
-    cols_arr = np.argpartition(keys, nnz_per_row, axis=1)[:, :nnz_per_row]
-    cols_arr = np.sort(cols_arr, axis=1).astype(np.int32)
+    start = r.integers(0, cols, (rows, 1))
+    stride = r.integers(0, cols // 2, (rows, 1)) * 2 + 1
+    k = np.arange(nnz_per_row, dtype=np.int64)[None, :]
+    cols_arr = ((start + stride * k) % cols).astype(np.int32)
+    cols_arr = np.sort(cols_arr, axis=1)
     row_ptrs = (np.arange(rows + 1, dtype=np.int64)
                 * nnz_per_row).astype(np.int32)
     vals = r.uniform(-10, 10, rows * nnz_per_row).astype(np.float32)

@@ -49,7 +49,7 @@ TB = 8          # groups per scatter half (one base / target-set)
 
 
 def build(n_steps: int, S: int, out8: int, cols8: int, mode: str):
-    unroll = mode in ("base", "nib", "sgather", "ind8u")
+    unroll = mode in ("base", "nib", "sgather", "ind8u", "mrg")
 
     def kernel(wg_ref, base_ref, x_ref, v_ref, lo_ref, sb_ref, o_ref):
         i = pl.program_id(0)
@@ -64,7 +64,10 @@ def build(n_steps: int, S: int, out8: int, cols8: int, mode: str):
                 qs = pl.multiple_of(qs, T * CHUNKS)
             lo_q = lo_ref[pl.ds(qs, T * CHUNKS), :].astype(jnp.int32)
             v_q = v_ref[pl.ds(qs, T * CHUNKS), :]
-            if mode == "nib":
+            if mode == "mrg":
+                sb_q = lo_ref[
+                    pl.ds(S * CHUNKS + qs, T * CHUNKS), :].astype(jnp.int32)
+            elif mode == "nib":
                 qs2 = q * (T // 2) * CHUNKS
                 if not isinstance(q, int):
                     qs2 = pl.multiple_of(qs2, (T // 2) * CHUNKS)
@@ -101,7 +104,7 @@ def build(n_steps: int, S: int, out8: int, cols8: int, mode: str):
                 return
 
             prod = jnp.concatenate(prods, axis=0)
-            if mode in ("base", "nib"):
+            if mode in ("base", "nib", "mrg"):
                 for h in range(T // TB):
                     ph = prod[TB * 8 * h:TB * 8 * (h + 1), :]
                     if mode == "nib":
@@ -147,6 +150,9 @@ def build(n_steps: int, S: int, out8: int, cols8: int, mode: str):
             jax.lax.fori_loop(0, S // T, lambda q, c: (body(q), c)[1], 0)
 
     nb = (S * CHUNKS) // 2 if mode == "nib" else S * CHUNKS
+    lo_rows = 2 * S * CHUNKS if mode == "mrg" else S * CHUNKS
+    if mode == "mrg":
+        nb = 8
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_steps,),
@@ -155,10 +161,10 @@ def build(n_steps: int, S: int, out8: int, cols8: int, mode: str):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((S * CHUNKS, LANE), lambda i, *m: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((S * CHUNKS, LANE), lambda i, *m: (i, 0),
+            pl.BlockSpec((lo_rows, LANE), lambda i, *m: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb, LANE), lambda i, *m: (i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, LANE), lambda i, *m: (0, 0) if nb == 8
+                         else (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((out8, LANE), lambda i, *m: (0, 0),
                                memory_space=pltpu.VMEM),
@@ -195,20 +201,30 @@ def main():
     tgt = rng.integers(0, out8 - 1, (n_runs * 8,)).astype(np.int32)
     x2d = jnp.asarray(rng.random((cols8, LANE)).astype(np.float32))
 
+    lo_np = np.asarray(lo)
+    sb8_np = np.asarray(sb8)
+    merged = np.concatenate(
+        [lo_np.reshape(n_steps, S * CHUNKS, LANE),
+         sb8_np.reshape(n_steps, S * CHUNKS, LANE)],
+        axis=1).reshape(-1, LANE)
     for mode in modes:
         sb = {"nib": sbnib, "w128": sb128}.get(mode, sb8)
         sbj = jnp.asarray(sb)
         base = {"ind8": tgt, "ind8u": tgt, "w128": base_w128} \
             .get(mode, base_run)
         basej = jnp.asarray(base)
-        nbytes = vals.nbytes + lo.nbytes + sbj.nbytes
+        lo_in = jnp.asarray(merged) if mode == "mrg" else lo
+        if mode == "mrg":
+            sbj = jnp.zeros((n_steps * 8, LANE), jnp.int8)
+        nbytes = vals.nbytes + lo_in.nbytes + sbj.nbytes
         try:
             fn = build(n_steps, S, out8, cols8, mode)
             f = jax.jit(lambda *a: fn(*a))
             t0 = time.time()
-            f(wg, basej, x2d, vals, lo, sbj).block_until_ready()
+            f(wg, basej, x2d, vals, lo_in, sbj).block_until_ready()
             compile_s = time.time() - t0
-            secs = time_jitted(f, wg, basej, x2d, vals, lo, sbj, iters=300)
+            secs = time_jitted(f, wg, basej, x2d, vals, lo_in, sbj,
+                               iters=300, samples=3, estimator="median")
             gbs = nbytes / secs / 1e9
             slot_ps = secs / (n_groups * CHUNKS * LANE) * 1e12
             print(f"{mode:8s} {secs*1e3:7.3f} ms  {gbs:7.1f} GB/s  "

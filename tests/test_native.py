@@ -137,8 +137,8 @@ def test_plan_native_numpy_equivalence(rng):
         assert not native_mod.available()
         plan_numpy = WindowEllPlan.build(csr, split_rows=128)
     finally:
-        del os.environ["TPU_SPMV_NO_NATIVE"]
-        del os.environ["TPU_SPMV_NO_BALANCE"]
+        os.environ.pop("TPU_SPMV_NO_NATIVE", None)
+        os.environ.pop("TPU_SPMV_NO_BALANCE", None)
         importlib.reload(native_mod)
         assert native_mod.available()
 

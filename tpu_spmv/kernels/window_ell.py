@@ -423,7 +423,7 @@ class WindowEllPlan:
                 wc_arr[ptr_i[ie] + _cumcount(ie)] = \
                     w[is_extra] * CHUNKS + c[is_extra]
                 lanes = balance_extra_lanes(ptr_i, wc_arr,
-                                            n_windows * CHUNKS)
+                                            n_windows * CHUNKS, sup_rows)
                 if lanes is not None:
                     i2 = (np.arange(n_extra, dtype=np.int64) // LANE) \
                         * LANE + lanes

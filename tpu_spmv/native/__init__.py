@@ -68,7 +68,7 @@ if os.path.exists(_LIB_PATH) and not os.environ.get("TPU_SPMV_NO_NATIVE"):
         _lib.balance_extra_lanes_i64.argtypes = [
             ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int64)]
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)]
         _lib.mtx_open.restype = ctypes.c_void_p
         _lib.mtx_open.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
@@ -232,22 +232,28 @@ def _mtx_read_py(path: str):
             np.asarray(cols, np.int32), np.asarray(vals, np.float32)
 
 
-# depth-counter budget for the lane balancer (ints): sups * windows*8
-# * 128; above this the pass is skipped (wide matrices keep the plain
-# interleave — their extras are a small slot share anyway)
-_BALANCE_MAX_CELLS = 1 << 27
+# depth-counter budget for the lane balancer: sups * windows*8 * 128
+# int32 cells; 1<<25 caps the transient table at ~128 MB (matching the
+# _DIRECT_KEYS_MAX host-memory posture).  Above it the pass is skipped
+# (wide matrices keep the plain interleave — their extras are a small
+# slot share anyway).
+_BALANCE_MAX_CELLS = 1 << 25
 
 
 def balance_extra_lanes(ext_ptr: np.ndarray, ext_wc: np.ndarray,
-                        n_wc: int):
-    """Two-choice greedy lane assignment for extras blocks (see
+                        n_wc: int, sup_rows: int = 1024):
+    """Exhaustive-greedy lane assignment for extras blocks (see
     native.cc); returns the per-extra lane array, or ``None`` when the
-    native library is absent or the depth table would not fit."""
+    native library is absent or the depth table would not fit.
+    ``sup_rows`` keys the depth tables by the plan's true superblock
+    height so extras in the same (superblock, window) bucket share
+    counters."""
     n_extra = len(ext_ptr) - 1
     if _lib is None or n_extra <= 0 \
             or os.environ.get("TPU_SPMV_NO_BALANCE"):
         return None
-    n_sups = -(-n_extra // 1024)
+    blocks_per_sup = max(sup_rows // 128, 1)
+    n_sups = -(-n_extra // (blocks_per_sup * 128))
     if n_sups * n_wc * 128 > _BALANCE_MAX_CELLS:
         return None
     out = np.empty(n_extra, np.int64)
@@ -255,7 +261,7 @@ def balance_extra_lanes(ext_ptr: np.ndarray, ext_wc: np.ndarray,
         n_extra,
         _p(np.ascontiguousarray(ext_ptr, np.int64), ctypes.c_int64),
         _p(np.ascontiguousarray(ext_wc, np.int64), ctypes.c_int64),
-        n_wc, _p(out, ctypes.c_int64))
+        n_wc, blocks_per_sup, _p(out, ctypes.c_int64))
     return out
 
 

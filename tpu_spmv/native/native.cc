@@ -391,20 +391,20 @@ void* mtx_open(const char* path, int32_t* num_rows, int32_t* num_cols,
 // D[(sup, window*8+chunk, lane)], spreading hot chunks across lanes.
 // ext_ptr (n_extra+1) / ext_wc: per-extra content lists (wc = w*8+c).
 // The last (partial) block is constrained to lanes [0, count) so the
-// index space stays dense.  Deterministic (fixed LCG).
+// index space stays dense.  Deterministic.
 void balance_extra_lanes_i64(int64_t n_extra, const int64_t* ext_ptr,
                              const int64_t* ext_wc, int64_t n_wc,
-                             int64_t* out_lane) {
+                             int64_t blocks_per_sup, int64_t* out_lane) {
   if (n_extra <= 0) return;
-  const int64_t n_sups = (n_extra + 1023) / 1024;
+  const int64_t n_sups =
+      (n_extra + blocks_per_sup * 128 - 1) / (blocks_per_sup * 128);
   std::vector<int32_t> depth(static_cast<size_t>(n_sups) * n_wc * 128, 0);
   const int64_t n_blocks = (n_extra + 127) / 128;
-  uint64_t rng = 0x243F6A8885A308D3ull;
   std::vector<int> order(128), free_lanes(128);
   for (int64_t b = 0; b < n_blocks; ++b) {
     const int64_t e0 = b * 128;
     const int count = static_cast<int>(std::min<int64_t>(128, n_extra - e0));
-    const int64_t sup = b / 8;
+    const int64_t sup = b / blocks_per_sup;
     int32_t* D = depth.data() + static_cast<size_t>(sup) * n_wc * 128;
     order.resize(count);
     for (int k = 0; k < count; ++k) order[k] = k;

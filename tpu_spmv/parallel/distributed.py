@@ -13,9 +13,13 @@ insert collectives):
   ``rows`` axis; each shard's nnz arrays are padded to a common bucket so
   the stacked ``(n_shards, nnz_pad)`` arrays are static-shaped and shard
   exactly one block per device;
-* the operand ``x`` is **replicated** (power-law column footprints make row
-  shards read nearly all of x, so replication beats halo exchange at this
-  scale; halo compression is the planned optimization);
+* the operand ``x`` is either **replicated** (power-law column footprints
+  make row shards read nearly all of x, so replication is the honest
+  default for that class) or **ring-exchanged** (round 3,
+  :func:`shard_csr_ring` / :func:`spmv_csr_ring`): x stays row-sharded,
+  each shard packs the slice of its block other shards reference, and
+  the packed slices rotate via ``lax.ppermute`` overlapped with per-pair
+  packed kernels — see :func:`ring_traffic_report` and docs/TRAFFIC.md;
 * each device runs the **full packed Pallas kernel** on its row block
   (:func:`shard_csr_packed` / :func:`spmv_csr_sharded_packed`; the flat
   gather+segment-sum pair :func:`shard_csr` / :func:`spmv_csr_sharded`
@@ -707,7 +711,8 @@ def ring_traffic_report(rs: RingShardedCSR) -> dict:
                 "ring_wins": False}
     replicate = (n - 1) * rs.cols_per_shard * 4
     ring = (n - 1) * rs.u_max * 4
-    ideal = 0  # not tracked per pair in the packed form; footprint bound:
+    # footprint-mean bound (per-pair byte counts are not tracked in the
+    # packed form)
     ideal = (n - 1) * int(np.mean(rs.pack_len)) * 4
     return {
         "n_shards": n,

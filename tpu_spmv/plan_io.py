@@ -93,33 +93,38 @@ def load_plan(path: str, device=None):
     put = (lambda a: jax.device_put(a, device)) if device is not None \
         else jax.device_put
     try:
-        z = np.load(path, allow_pickle=False)
+        ctx = np.load(path, allow_pickle=False)
     except OSError as e:
         raise FileIOError(str(e)) from e
-    if "__meta__" not in z:
-        raise InvalidFormatError(f"{path}: not a tpu_spmv plan file")
-    meta = json.loads(bytes(z["__meta__"].tobytes()).decode())
-    if meta.get("version", 0) > _VERSION:
-        raise InvalidFormatError(
-            f"{path}: plan format v{meta['version']} is newer than this "
-            f"library (v{_VERSION})")
-    kind = meta.get("kind")
-    if kind == "window_ell":
-        return _window_from("p_", z, meta, put)
-    if kind == "composite":
-        plans = tuple(_window_from(f"l{i}_", z, meta, put)
-                      for i in range(meta["n_levels"]))
-        tail = None
-        if "tail" in meta:
-            t = meta["tail"]
-            tail = DeviceCSR(
-                values=put(jnp.asarray(z["t_values"])),
-                col_indices=put(jnp.asarray(z["t_col_indices"])),
-                row_ptrs=put(jnp.asarray(z["t_row_ptrs"])),
-                row_ids=put(jnp.asarray(z["t_row_ids"])),
-                num_rows=t["num_rows"], num_cols=t["num_cols"],
-                nnz=t["nnz"])
-        return CompositePlan(plans=plans, tail=tail,
-                             num_rows=meta["num_rows"],
-                             num_cols=meta["num_cols"])
-    raise InvalidFormatError(f"{path}: unknown plan kind {kind!r}")
+    except Exception as e:  # corrupt/non-npz content (ValueError,
+        # zipfile.BadZipFile, ...) — keep the library's error taxonomy
+        raise InvalidFormatError(f"{path}: not a tpu_spmv plan file "
+                                 f"({e})") from e
+    with ctx as z:
+        if "__meta__" not in z:
+            raise InvalidFormatError(f"{path}: not a tpu_spmv plan file")
+        meta = json.loads(bytes(z["__meta__"].tobytes()).decode())
+        if meta.get("version", 0) > _VERSION:
+            raise InvalidFormatError(
+                f"{path}: plan format v{meta['version']} is newer than "
+                f"this library (v{_VERSION})")
+        kind = meta.get("kind")
+        if kind == "window_ell":
+            return _window_from("p_", z, meta, put)
+        if kind == "composite":
+            plans = tuple(_window_from(f"l{i}_", z, meta, put)
+                          for i in range(meta["n_levels"]))
+            tail = None
+            if "tail" in meta:
+                t = meta["tail"]
+                tail = DeviceCSR(
+                    values=put(jnp.asarray(z["t_values"])),
+                    col_indices=put(jnp.asarray(z["t_col_indices"])),
+                    row_ptrs=put(jnp.asarray(z["t_row_ptrs"])),
+                    row_ids=put(jnp.asarray(z["t_row_ids"])),
+                    num_rows=t["num_rows"], num_cols=t["num_cols"],
+                    nnz=t["nnz"])
+            return CompositePlan(plans=plans, tail=tail,
+                                 num_rows=meta["num_rows"],
+                                 num_cols=meta["num_cols"])
+        raise InvalidFormatError(f"{path}: unknown plan kind {kind!r}")

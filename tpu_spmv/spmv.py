@@ -238,7 +238,8 @@ def spmv_csr(A: CSRMatrix | None, x, config: SpMVConfig | None = None,
         from .timing import time_jitted
 
         secs = time_jitted(lambda *a: fn(*a[:-1], a[-1])[: A.num_rows],
-                           *args, x, iters=measure_iters)
+                           *args, x, iters=measure_iters,
+                           samples=3, estimator="median")
         result.elapsed_ms = secs * 1e3
         result.gflops = 2.0 * A.nnz / secs / 1e9 if secs > 0 else 0.0
         result.bandwidth = compute_bandwidth_csr(
@@ -313,7 +314,8 @@ def spmv_ell(A: ELLMatrix | None, x, config: SpMVConfig | None = None,
         from .timing import time_jitted
 
         secs = time_jitted(lambda *a: fn(*a[:-1], a[-1])[: A.num_rows],
-                           *args, x, iters=measure_iters)
+                           *args, x, iters=measure_iters,
+                           samples=3, estimator="median")
         result.elapsed_ms = secs * 1e3
         # actual-nnz GFLOPS accounting like the reference host recount
         # (spmv_kernels.cu:399-405)
