@@ -85,3 +85,20 @@ def test_load_rejects_non_plan(tmp_path):
 def test_save_rejects_unknown_type(tmp_path):
     with pytest.raises(InvalidFormatError):
         save_plan(object(), str(tmp_path / "x.npz"))
+
+
+def test_load_rejects_corrupt_file(tmp_path):
+    """Corrupt / non-npz content must surface through the library's
+    error taxonomy (InvalidFormatError), not raw numpy/zipfile errors."""
+    path = str(tmp_path / "corrupt.npz")
+    with open(path, "w") as f:
+        f.write("this is not an npz archive")
+    with pytest.raises(InvalidFormatError):
+        load_plan(path)
+
+
+def test_load_missing_file(tmp_path):
+    from tpu_spmv.errors import FileIOError
+
+    with pytest.raises(FileIOError):
+        load_plan(str(tmp_path / "missing.npz"))
