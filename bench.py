@@ -53,21 +53,23 @@ def main() -> int:
     auto = spmv_auto_config(csr)
     log(f"auto-selector: {KernelType(auto.kernel_type).name}")
 
-    # ---- build the merge-path plan host-side (placement retries below
-    # re-upload the leaves; measured: the SAME plan runs 571-724 GB/s
-    # actual depending on where HBM allocation lands it) ----
+    # ---- build TWO merge-path plans host-side: the chip's per-session
+    # throughput state flips the optimal step width (S=128 wins the fast
+    # state at ~152 us, S=384 the slow state at ~156 us vs 181 for
+    # S=128 there — larger blocks amortize whatever the slow state
+    # penalizes per DMA step); measuring both makes the recorded number
+    # state-insensitive ----
     t0 = time.time()
     cpu0 = jax.local_devices(backend="cpu")[0]
-    plan_host = WindowEllPlan.build(csr, split_rows=MERGE_SPLIT_ROWS,
-                                    device=cpu0)
+    plan_hosts = {S: WindowEllPlan.build(csr, split_rows=MERGE_SPLIT_ROWS,
+                                         step_groups=S, device=cpu0)
+                  for S in (128, 384)}
+    plan_host = plan_hosts[128]
     host_leaves, plan_aux = plan_host.tree_flatten()
     host_leaves = [np.asarray(a) for a in host_leaves]
 
-    def place():
-        return WindowEllPlan.tree_unflatten(
-            plan_aux, tuple(jax.device_put(a, dev) for a in host_leaves))
-
-    plan = place()
+    plan = WindowEllPlan.tree_unflatten(
+        plan_aux, tuple(jax.device_put(a, dev) for a in host_leaves))
     log(f"plan: groups={plan.n_groups} occupancy={plan_host.occupancy:.3f} "
         f"extras={plan.n_extra} build+upload {time.time()-t0:.1f}s")
 
@@ -105,6 +107,26 @@ def main() -> int:
     if secs is not None:
         log(f"  this-session: {secs*1e6:.1f} us "
             f"({actual_bytes/secs/1e9:.0f} GB/s actual)")
+    # the alternate step width (see plan_hosts comment)
+    p384_host = plan_hosts[384]
+    l384, aux384 = p384_host.tree_flatten()
+    p384 = WindowEllPlan.tree_unflatten(
+        aux384, tuple(jax.device_put(np.asarray(a), dev) for a in l384))
+    act384 = p384.n_groups * 1024 * (5.5 if p384.sbn else 6.0) \
+        + (p384.cols_pad + (p384.e8 + p384.out8) * 128) * 4
+    s384 = None
+    for _ in range(3):
+        s384 = time_jitted(spmv_window_ell, p384, x, iters=300,
+                           samples=5, estimator="median")
+        if (act384 / s384 / 1e9) <= stream_gbs * 1.02:
+            break
+        s384 = None
+    if s384 is not None:
+        log(f"  S=384 plan: {s384*1e6:.1f} us "
+            f"({act384/s384/1e9:.0f} GB/s actual)")
+        if secs is None or s384 < secs:
+            secs, plan, actual_bytes = s384, p384, act384
+            plan_host = p384_host
     # SESSION retry: the kernel's effective HBM rate is set per TPU
     # client session (the allocator slab's physical placement) — the
     # same plan measures ~590-730 GB/s actual across sessions while
