@@ -120,3 +120,18 @@ class TestCapacityGuards:
         # every row sums its 4 values (x == 1)
         expected = vals.reshape(rows, nnz_per_row).sum(axis=1)
         np.testing.assert_allclose(res.y_host(), expected, rtol=1e-5)
+
+
+def test_autotune_returns_correct_plan(rng):
+    """WindowEllPlan.autotune measures candidate step widths and returns
+    a working plan (functional check on the CPU backend)."""
+    import numpy as np
+
+    from tpu_spmv.kernels.window_ell import WindowEllPlan, spmv_window_ell
+    from tpu_spmv.utils.testing import spmv_matches
+
+    csr = rng.power_law_csr(3000, 2000, avg_nnz=10.0, alpha=1.6)
+    x = rng.vector(2000)
+    plan = WindowEllPlan.autotune(csr, x, widths=(8, 16), iters=4)
+    y = np.asarray(spmv_window_ell(plan, x))
+    assert spmv_matches(y, csr, x, rel_tol=1e-5)

@@ -222,6 +222,38 @@ class WindowEllPlan:
         return plan
 
     @staticmethod
+    def autotune(csr: CSRMatrix, x=None, split_rows: int | None = 128,
+                 widths: tuple = (128, 384), iters: int = 200
+                 ) -> "WindowEllPlan":
+        """Build candidate plans at several step widths, measure each on
+        the live device, and return the fastest.
+
+        The optimal ``step_groups`` depends on device state (measured on
+        v5e: S=128 wins a "fast" HBM session at ~152 us on the 10M-nnz
+        headline, but degrades ~18% in the "slow" session state where
+        S=384's larger blocks hold ~155 us — see docs/PERF.md).  For
+        long-lived serving processes the measurement cost (~1 s per
+        candidate) amortizes immediately.
+        """
+        import jax.numpy as jnp
+
+        from ..timing import time_jitted
+
+        if x is None:
+            x = jnp.zeros((csr.num_cols,), jnp.float32)
+        else:
+            x = jnp.asarray(x, jnp.float32)
+        best = None
+        for S in widths:
+            plan = WindowEllPlan.build(csr, split_rows=split_rows,
+                                       step_groups=S)
+            secs = time_jitted(spmv_window_ell, plan, x, iters=iters,
+                               samples=3, estimator="median")
+            if best is None or secs < best[0]:
+                best = (secs, plan)
+        return best[1]
+
+    @staticmethod
     def build(csr: CSRMatrix, split_rows: int | None = None,
               step_groups: int | None = None, cap_slack: int = 1,
               cap_margin: float = 0.3, spill_rounds: int = 1,
