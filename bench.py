@@ -114,8 +114,12 @@ def main() -> int:
         aux384, tuple(jax.device_put(np.asarray(a), dev) for a in l384))
     act384 = p384.n_groups * 1024 * (5.5 if p384.sbn else 6.0) \
         + (p384.cols_pad + (p384.e8 + p384.out8) * 128) * 4
+    ok384 = spmv_matches(np.asarray(spmv_window_ell(p384, x)), csr,
+                         np.asarray(x), rel_tol=1e-5)
+    if not ok384:
+        log("  S=384 plan FAILED correctness — skipping")
     s384 = None
-    for _ in range(3):
+    for _ in range(3 if ok384 else 0):
         s384 = time_jitted(spmv_window_ell, p384, x, iters=300,
                            samples=5, estimator="median")
         if (act384 / s384 / 1e9) <= stream_gbs * 1.02:
