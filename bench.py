@@ -161,7 +161,7 @@ def main() -> int:
             try:
                 out = subprocess.run(
                     [sys.executable, "-c", child], capture_output=True,
-                    text=True, timeout=240).stdout
+                    text=True, timeout=150).stdout
                 s_k = float(out.split("SECS")[-1])
             except Exception as e:
                 log(f"  session-{k}: failed ({e})")
