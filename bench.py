@@ -154,14 +154,14 @@ def main() -> int:
             f"plan = load_plan({ppath!r})\n"
             "rng = RandomGenerator(42)\n"
             f"x = jnp.asarray(rng.vector({cols}))\n"
-            "s = min(time_jitted(spmv_window_ell, plan, x, iters=300, "
-            "samples=5, estimator='median') for _ in range(2))\n"
+            "s = time_jitted(spmv_window_ell, plan, x, iters=300, "
+            "samples=5, estimator='median')\n"
             "print('SECS', s)\n")
         for k in range(2):
             try:
                 out = subprocess.run(
                     [sys.executable, "-c", child], capture_output=True,
-                    text=True, timeout=150).stdout
+                    text=True, timeout=180).stdout
                 s_k = float(out.split("SECS")[-1])
             except Exception as e:
                 log(f"  session-{k}: failed ({e})")
