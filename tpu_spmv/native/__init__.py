@@ -68,7 +68,8 @@ if os.path.exists(_LIB_PATH) and not os.environ.get("TPU_SPMV_NO_NATIVE"):
         _lib.balance_extra_lanes_i64.argtypes = [
             ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
-            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)]
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64)]
         _lib.mtx_open.restype = ctypes.c_void_p
         _lib.mtx_open.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
@@ -254,14 +255,15 @@ def balance_extra_lanes(ext_ptr: np.ndarray, ext_wc: np.ndarray,
         return None
     blocks_per_sup = max(sup_rows // 128, 1)
     n_sups = -(-n_extra // (blocks_per_sup * 128))
-    if n_sups * n_wc * 128 > _BALANCE_MAX_CELLS:
-        return None
+    # exact direct-addressed depth tables when they fit; a fixed-size
+    # hashed table (2^18 rows = 128 MB) for wide matrices beyond it
+    hash_bits = 0 if n_sups * n_wc * 128 <= _BALANCE_MAX_CELLS else 18
     out = np.empty(n_extra, np.int64)
     _lib.balance_extra_lanes_i64(
         n_extra,
         _p(np.ascontiguousarray(ext_ptr, np.int64), ctypes.c_int64),
         _p(np.ascontiguousarray(ext_wc, np.int64), ctypes.c_int64),
-        n_wc, blocks_per_sup, _p(out, ctypes.c_int64))
+        n_wc, blocks_per_sup, hash_bits, _p(out, ctypes.c_int64))
     return out
 
 

@@ -392,20 +392,36 @@ void* mtx_open(const char* path, int32_t* num_rows, int32_t* num_cols,
 // ext_ptr (n_extra+1) / ext_wc: per-extra content lists (wc = w*8+c).
 // The last (partial) block is constrained to lanes [0, count) so the
 // index space stays dense.  Deterministic.
+// When hash_bits > 0 the depth table is a fixed 2^hash_bits-row hash
+// (collisions smear depth across unrelated cells — acceptable noise for
+// a balancing heuristic) so arbitrarily wide matrices stay in budget.
 void balance_extra_lanes_i64(int64_t n_extra, const int64_t* ext_ptr,
                              const int64_t* ext_wc, int64_t n_wc,
-                             int64_t blocks_per_sup, int64_t* out_lane) {
+                             int64_t blocks_per_sup, int64_t hash_bits,
+                             int64_t* out_lane) {
   if (n_extra <= 0) return;
   const int64_t n_sups =
       (n_extra + blocks_per_sup * 128 - 1) / (blocks_per_sup * 128);
-  std::vector<int32_t> depth(static_cast<size_t>(n_sups) * n_wc * 128, 0);
+  const bool hashed = hash_bits > 0;
+  const size_t h_rows = hashed ? (size_t{1} << hash_bits) : 0;
+  const size_t h_mask = hashed ? h_rows - 1 : 0;
+  std::vector<int32_t> depth(
+      hashed ? h_rows * 128
+             : static_cast<size_t>(n_sups) * n_wc * 128, 0);
   const int64_t n_blocks = (n_extra + 127) / 128;
   std::vector<int> order(128), free_lanes(128);
   for (int64_t b = 0; b < n_blocks; ++b) {
     const int64_t e0 = b * 128;
     const int count = static_cast<int>(std::min<int64_t>(128, n_extra - e0));
     const int64_t sup = b / blocks_per_sup;
-    int32_t* D = depth.data() + static_cast<size_t>(sup) * n_wc * 128;
+    int32_t* D = depth.data()
+        + (hashed ? 0 : static_cast<size_t>(sup) * n_wc * 128);
+    auto row_of = [&](int64_t wc) -> size_t {
+      if (!hashed) return static_cast<size_t>(wc);
+      uint64_t k = static_cast<uint64_t>(sup * n_wc + wc)
+          * 0x9E3779B97F4A7C15ull;
+      return static_cast<size_t>((k >> 24) & h_mask);
+    };
     order.resize(count);
     for (int k = 0; k < count; ++k) order[k] = k;
     std::sort(order.begin(), order.end(), [&](int a, int c2) {
@@ -426,7 +442,7 @@ void balance_extra_lanes_i64(int64_t n_extra, const int64_t* ext_ptr,
         const int cand = free_lanes[t];
         int64_t sc = 0;
         for (int64_t j = ext_ptr[e]; j < ext_ptr[e + 1]; ++j) {
-          const int32_t d = D[ext_wc[j] * 128 + cand];
+          const int32_t d = D[row_of(ext_wc[j]) * 128 + cand];
           sc += static_cast<int64_t>(d) * d;
         }
         if (sc < best_score) {
@@ -438,7 +454,7 @@ void balance_extra_lanes_i64(int64_t n_extra, const int64_t* ext_ptr,
       out_lane[e] = lane;
       free_lanes[best_t] = free_lanes[--nfree];
       for (int64_t j = ext_ptr[e]; j < ext_ptr[e + 1]; ++j)
-        D[ext_wc[j] * 128 + lane] += 1;
+        D[row_of(ext_wc[j]) * 128 + lane] += 1;
     }
   }
 }
