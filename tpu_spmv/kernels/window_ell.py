@@ -297,11 +297,14 @@ class WindowEllPlan:
         cols_pad = _bucket(max(csr.num_cols, 1))
         n_windows = cols_pad // WINDOW
         if step_groups is None:
-            # 128 measured best on v5e round 3 (152 vs 164 us at 256 and
-            # 219 at 64 on the headline — smaller blocks cut the section
-            # padding and pipeline better); small steps keep
-            # interpret-mode (CPU test) tracing cheap
-            step_groups = 8 if _use_interpret() else 128
+            # 256 is the robust single default on v5e (round 3): the
+            # chip's per-session throughput state flips the optimum —
+            # S=128 wins fast sessions (152 us on the headline) but
+            # degrades to ~181 us in the slow state, while S=256 holds
+            # 160-164 us in BOTH states.  Peak-chasing callers use
+            # WindowEllPlan.autotune (or bench.py's dual-plan measure).
+            # Small steps keep interpret-mode (CPU test) tracing cheap.
+            step_groups = 8 if _use_interpret() else 256
         # Normalize to a kernel-legal step width: the sub-tile loop runs
         # S // T_SUB full tiles and each tile folds T_SUB // T_BASE base
         # runs, so any S that is neither 8 nor a multiple of T_SUB would
