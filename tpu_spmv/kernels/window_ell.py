@@ -304,7 +304,12 @@ class WindowEllPlan:
             # 160-164 us in BOTH states.  Peak-chasing callers use
             # WindowEllPlan.autotune (or bench.py's dual-plan measure).
             # Small steps keep interpret-mode (CPU test) tracing cheap.
-            step_groups = 8 if _use_interpret() else 256
+            if _use_interpret():
+                step_groups = 8
+            else:
+                # wide superblocks are fori-path and scatter-bound —
+                # keep their smaller blocks for VMEM headroom
+                step_groups = 128 if sup_rows >= 4096 else 256
         # Normalize to a kernel-legal step width: the sub-tile loop runs
         # S // T_SUB full tiles and each tile folds T_SUB // T_BASE base
         # runs, so any S that is neither 8 nor a multiple of T_SUB would
