@@ -26,6 +26,14 @@ def log(*args):
 
 def main() -> int:
     t_start = time.time()
+    import os
+
+    # persistent XLA compilation cache: fresh processes (including the
+    # session-retry children below) reuse compiled kernels instead of
+    # paying the ~100 s Mosaic compile per unrolled variant
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/root/.cache/jax_comp_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
     import jax
     import jax.numpy as jnp
 
