@@ -82,6 +82,37 @@ def test_packer_fuzz_tpu_step_width(rng):
         assert spmv_matches(y, csr, x, rel_tol=1e-5), (trial, rows, cols)
 
 
+def test_packer_fuzz_spill_beta_and_balancer(rng, monkeypatch):
+    """Order-statistic spill caps (spill_beta) and the extras slot
+    balancer windows (TPU_SPMV_BALANCE_WINDOW) are data-movement-only
+    planner levers — every (beta, window) combination must reproduce
+    the oracle, including cap=0 buckets that spill their whole
+    content."""
+    r = rng.rng
+    tested = 0
+    for trial in range(18):
+        kind = int(r.integers(0, 5))
+        rows = int(r.integers(1500, 6000))
+        cols = int(r.integers(1025, 4200))
+        csr = _matrix(r, kind, rows, cols)
+        beta = [1.5, 3.0, 6.0][trial % 3]
+        win = [0, 1, 2, 4][int(r.integers(0, 4))]
+        monkeypatch.setenv("TPU_SPMV_BALANCE_WINDOW", str(win))
+        try:
+            plan = WindowEllPlan.build(
+                csr, split_rows=[None, 128][trial % 2],
+                spill_beta=beta, cap_slack=int(r.integers(0, 2)),
+                spill_rounds=int(r.integers(1, 3)))
+        except WindowEllOverflow:
+            continue
+        tested += 1
+        x = r.uniform(-3, 3, cols).astype(np.float32)
+        y = np.asarray(spmv_window_ell(plan, x))
+        assert spmv_matches(y, csr, x, rel_tol=1e-5), \
+            (trial, kind, rows, cols, beta, win)
+    assert tested >= 10
+
+
 def test_packer_fuzz_nonstandard_step_widths(rng):
     """Step widths that are not multiples of T_SUB=16 (e.g. via
     SpMVConfig(block_size=24) -> step_groups=12) must be normalized at

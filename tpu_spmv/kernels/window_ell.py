@@ -70,6 +70,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import numpy as np
 
@@ -258,6 +259,7 @@ class WindowEllPlan:
               step_groups: int | None = None, cap_slack: int = 1,
               cap_margin: float = 0.3, spill_rounds: int = 1,
               max_inflation: float = 64.0, sup: int | None = None,
+              spill_beta: float | None = None,
               device=None) -> "WindowEllPlan":
         """Pack a host CSR matrix into the window-ELL layout (vectorized).
 
@@ -266,11 +268,17 @@ class WindowEllPlan:
         if the chosen one trips a guard.  Raises
         :class:`WindowEllOverflow` when no layout fits, signalling the
         caller to use the streaming path instead.
+
+        ``spill_beta=None`` resolves to the measured default: 2.6 for
+        narrow (sup=1024) plans — per-bucket order-statistic layer caps
+        that price a kept layer against ~beta extras slots per spilled
+        nonzero — and the legacy ``cap_margin`` caps for wide
+        superblocks.  ``spill_beta=0`` forces the legacy caps.
         """
         if sup is not None:
             return WindowEllPlan._build(
                 csr, split_rows, step_groups, cap_slack, cap_margin,
-                spill_rounds, max_inflation, sup, device)
+                spill_rounds, max_inflation, sup, spill_beta, device)
         start = _choose_sup(csr)
         err = None
         for s in SUP_LEVELS[SUP_LEVELS.index(start):]:
@@ -281,17 +289,26 @@ class WindowEllPlan:
             try:
                 return WindowEllPlan._build(
                     csr, split_rows, step_groups, slack, cap_margin,
-                    spill_rounds, max_inflation, s, device)
+                    spill_rounds, max_inflation, s, spill_beta, device)
             except WindowEllOverflow as e:
                 err = e
         raise err
 
     @staticmethod
     def _build(csr: CSRMatrix, split_rows, step_groups, cap_slack,
-               cap_margin, spill_rounds, max_inflation, sup,
+               cap_margin, spill_rounds, max_inflation, sup, spill_beta,
                device) -> "WindowEllPlan":
         sup_rows = sup           # scalar superblock height; ``sup`` below
         del sup                  # is reused for per-nnz superblock ids
+        if spill_beta is None:
+            # Measured default (benchmarks/sweep_caps.py, 10M-nnz
+            # power-law headline): order-statistic caps at beta=2.6 cut
+            # total groups ~5% vs the flat-margin caps at sup=1024
+            # (18688 -> 17664 with the slot balancer).  Wide superblocks
+            # are shallow (cap ~1) and unmeasured under beta — keep the
+            # legacy margin caps there.  Pass spill_beta=0 to force the
+            # legacy caps at any height.
+            spill_beta = 2.6 if sup_rows == SUP_LEVELS[0] else 0.0
         n_tb = sup_rows // LANE
         rows, nnz = csr.num_rows, csr.nnz
         cols_pad = _bucket(max(csr.num_cols, 1))
@@ -375,11 +392,35 @@ class WindowEllPlan:
             for _round in range(max(spill_rounds, 1)):
                 bw = sup * n_windows + w
                 ubw, inv, cnt = _unique_ic(bw)
-                # layer cap per bucket: ideal layers plus a relative margin
-                cap = np.maximum(
-                    -(-(cnt + (cnt * cap_margin).astype(np.int64))
-                      // (CHUNKS * LANE)),
-                    -(-cnt // (CHUNKS * LANE))) + cap_slack
+                if spill_beta:
+                    # Economically optimal cap per bucket.  Keeping layer
+                    # L costs CHUNKS*LANE slots and saves spilling the
+                    # n_ge[L] cells at depth >= L one nonzero each, worth
+                    # ~spill_beta slots apiece in the extras region
+                    # (packing + combine overhead, measured ~2 slots/nnz
+                    # at extras occupancy ~0.5).  Since n_ge[L] is
+                    # non-increasing, the optimum has the closed form
+                    # "depth of the k-th deepest cell", k = the smallest
+                    # cell count that justifies a layer.  cap=0 (spill
+                    # the whole bucket) is allowed: a near-empty bucket's
+                    # content packs better as extras content than under
+                    # its own 1024-slot layer.
+                    cell = inv * (CHUNKS * LANE) + c * LANE + lane
+                    ucell, dcount = np.unique(cell, return_counts=True)
+                    cb = ucell // (CHUNKS * LANE)
+                    k = int(CHUNKS * LANE / spill_beta) + 1
+                    order = np.lexsort((-dcount, cb))
+                    kth = _cumcount(cb[order]) == (k - 1)
+                    cap = np.zeros(len(ubw), np.int64)
+                    cap[cb[order][kth]] = dcount[order][kth]
+                    cap += cap_slack
+                else:
+                    # layer cap per bucket: ideal layers plus a relative
+                    # margin
+                    cap = np.maximum(
+                        -(-(cnt + (cnt * cap_margin).astype(np.int64))
+                          // (CHUNKS * LANE)),
+                        -(-cnt // (CHUNKS * LANE))) + cap_slack
                 # absorb run padding as layer capacity (round 3): the
                 # group order pads each superblock's group count to a
                 # multiple of T_BASE with zero-slot groups; raising the
@@ -446,14 +487,17 @@ class WindowEllPlan:
             extra_to_row = extra_to_row[perm]
             is_extra = pos >= extras_base
             if is_extra.any():
-                from ..native import balance_extra_lanes
+                from ..native import (balance_extra_lanes,
+                                      balance_extra_slots)
 
-                # round-3: content-aware LANE assignment within each
-                # 128-index block — 2-choice greedy on projected cell
-                # depths (native pass; no-op without the library).  The
-                # interleave spreads a row's extras across superblocks;
-                # the balancer additionally spreads hot content chunks
-                # across lanes so they stop stacking layers.
+                # round-3: content-aware SLOT assignment — greedy on
+                # projected cell depths (native pass; no-op without the
+                # library).  The interleave spreads a row's extras
+                # across superblocks; the balancer additionally chooses
+                # each extra's (superblock, lane) inside a sliding
+                # window of superblocks so hot content chunks stop
+                # stacking layers (the older within-block lane-only
+                # greedy is the fallback).
                 safe_idx = np.clip(pos - extras_base, 0, n_extra - 1)
                 ie = inv_perm[safe_idx][is_extra]
                 cnt_i = np.bincount(ie, minlength=n_extra)
@@ -462,11 +506,26 @@ class WindowEllPlan:
                 wc_arr = np.empty(len(ie), np.int64)
                 wc_arr[ptr_i[ie] + _cumcount(ie)] = \
                     w[is_extra] * CHUNKS + c[is_extra]
-                lanes = balance_extra_lanes(ptr_i, wc_arr,
-                                            n_windows * CHUNKS, sup_rows)
-                if lanes is not None:
-                    i2 = (np.arange(n_extra, dtype=np.int64) // LANE) \
-                        * LANE + lanes
+                win = int(os.environ.get("TPU_SPMV_BALANCE_WINDOW", "1"))
+                if win >= 1:
+                    # single-extra rows' combine nonzeros gather at
+                    # cols_pad + (the index this pass assigns) — couple
+                    # that cell into the score (native.cc rationale)
+                    cnt_row = np.bincount(extra_to_row, minlength=rows)
+                    crow = np.where(cnt_row[extra_to_row] == 1,
+                                    extra_to_row, -1)
+                    i2 = balance_extra_slots(
+                        ptr_i, wc_arr, n_windows * CHUNKS, sup_rows,
+                        window_sups=win, ext_crow=crow)
+                else:
+                    i2 = None
+                if i2 is None:
+                    lanes = balance_extra_lanes(
+                        ptr_i, wc_arr, n_windows * CHUNKS, sup_rows)
+                    if lanes is not None:
+                        i2 = (np.arange(n_extra, dtype=np.int64) // LANE) \
+                            * LANE + lanes
+                if i2 is not None:
                     inv_perm = i2[inv_perm]
                     e2r_new = np.empty(n_extra, extra_to_row.dtype)
                     e2r_new[i2] = extra_to_row

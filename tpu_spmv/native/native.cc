@@ -459,6 +459,149 @@ void balance_extra_lanes_i64(int64_t n_extra, const int64_t* ext_ptr,
   }
 }
 
+// ---- extras (superblock, lane) slot balancing (round-3 backlog #2) ----
+//
+// Generalizes balance_extra_lanes_i64: instead of fixing each extra's
+// 128-index block and choosing only its lane, the greedy assigns each
+// extra a full SLOT — a (superblock, lane) pair with per-pair capacity
+// sup_rows/128 sublanes — inside a sliding window of `window_sups`
+// consecutive superblocks.  Layer depth is keyed by (sup, wc, lane)
+// only (the sublane is the scatter row, not a packing dimension), so
+// cross-superblock choice is the remaining freedom the lane balancer
+// could not exploit.  Batches are non-overlapping windows, which keeps
+// the assignment a bijection onto [0, n_extra) by construction.
+// out_idx[e] = the extra's new index in the extras position space.
+//
+// ext_crow: per-extra combine coupling — the extra's ROW id when that
+// row has exactly ONE extra (its combine nonzero gathers the level-1
+// total directly at table column cols_pad + idx, so the combine cell's
+// (window, chunk) is determined by the slot this pass assigns:
+// window_off = sup*(n_tb/8) + sublane/8, chunk = sublane%8, lane =
+// row%128), or -1 when the row is multi-extra (its combine reads the
+// level-2 region, which this pass does not move).  Scoring those cells
+// in a second depth table keeps cross-superblock moves from stacking
+// combine gathers in the rows region — without it, slot choice wins
+// ~8% extras density but loses MORE in combine-bucket layers
+// (measured on the 10M headline: extras 4096->... but rows +512
+// groups).  Pass ext_crow = NULL to disable.
+// Deterministic.
+void balance_extra_slots_i64(int64_t n_extra, const int64_t* ext_ptr,
+                             const int64_t* ext_wc, int64_t n_wc,
+                             const int64_t* ext_crow,
+                             int64_t sup_rows, int64_t window_sups,
+                             int64_t hash_bits, int64_t* out_idx) {
+  if (n_extra <= 0) return;
+  const int64_t batch_sz = window_sups * sup_rows;
+  const int64_t n_sups = (n_extra + sup_rows - 1) / sup_rows;
+  const bool hashed = hash_bits > 0;
+  const size_t h_rows = hashed ? (size_t{1} << hash_bits) : 0;
+  const size_t h_mask = hashed ? h_rows - 1 : 0;
+  std::vector<int32_t> depth(
+      hashed ? h_rows * 128
+             : static_cast<size_t>(n_sups) * n_wc * 128, 0);
+  // combine-cell depths: always a fixed hashed table (the key space —
+  // (row superblock, combine window, chunk) — is unbounded either way)
+  const size_t c_rows = size_t{1} << 16;
+  const size_t c_mask = c_rows - 1;
+  std::vector<int32_t> cdepth(ext_crow ? c_rows * 128 : 0, 0);
+  const int64_t n_tb = sup_rows / 128;
+  auto crow_of = [&](int64_t row_sup, int64_t sup, int sub) -> size_t {
+    const int64_t woff = sup * (n_tb / 8) + sub / 8;
+    uint64_t kk = (static_cast<uint64_t>(row_sup) * 0x100000001ull
+                   + static_cast<uint64_t>(woff) * 8 + sub % 8)
+        * 0x9E3779B97F4A7C15ull;
+    return static_cast<size_t>((kk >> 24) & c_mask);
+  };
+  std::vector<int> order;
+  std::vector<int> cap(static_cast<size_t>(window_sups) * 128);
+  std::vector<int> fill(static_cast<size_t>(window_sups) * 128);
+  for (int64_t b0 = 0; b0 < n_extra; b0 += batch_sz) {
+    const int64_t e_end = std::min(n_extra, b0 + batch_sz);
+    const int count = static_cast<int>(e_end - b0);
+    const int64_t sup0 = b0 / sup_rows;
+    const int W = static_cast<int>(
+        std::min<int64_t>(window_sups, n_sups - sup0));
+    // free-slot capacity per (local sup, lane) over [b0, e_end)
+    for (int s = 0; s < W; ++s) {
+      const int64_t a = (sup0 + s) * sup_rows;
+      const int64_t len = std::min(e_end, a + sup_rows) - a;
+      for (int l = 0; l < 128; ++l) {
+        cap[s * 128 + l] = static_cast<int>(
+            len > 0 ? len / 128 + (l < len % 128 ? 1 : 0) : 0);
+        fill[s * 128 + l] = 0;
+      }
+    }
+    order.resize(count);
+    for (int k = 0; k < count; ++k) order[k] = k;
+    std::sort(order.begin(), order.end(), [&](int a, int c2) {
+      int64_t la = ext_ptr[b0 + a + 1] - ext_ptr[b0 + a];
+      int64_t lc = ext_ptr[b0 + c2 + 1] - ext_ptr[b0 + c2];
+      return la != lc ? la > lc : a < c2;
+    });
+    for (int k = 0; k < count; ++k) {
+      const int64_t e = b0 + order[k];
+      const int64_t crow = ext_crow ? ext_crow[e] : -1;
+      const int64_t crow_sup = crow >= 0 ? crow / sup_rows : 0;
+      const int crow_lane = crow >= 0 ? static_cast<int>(crow % 128) : 0;
+      int best_s = -1, best_l = 0;
+      int64_t best_score = INT64_MAX;
+      for (int s = 0; s < W; ++s) {
+        const int64_t sup = sup0 + s;
+        int32_t* D = depth.data()
+            + (hashed ? 0 : static_cast<size_t>(sup) * n_wc * 128);
+        auto row_of = [&](int64_t wc) -> size_t {
+          if (!hashed) return static_cast<size_t>(wc);
+          uint64_t kk = static_cast<uint64_t>(sup * n_wc + wc)
+              * 0x9E3779B97F4A7C15ull;
+          return static_cast<size_t>((kk >> 24) & h_mask);
+        };
+        for (int l = 0; l < 128; ++l) {
+          if (cap[s * 128 + l] == 0) continue;
+          int64_t sc = 0;
+          if (crow >= 0) {
+            const int32_t d = cdepth[
+                crow_of(crow_sup, sup, fill[s * 128 + l]) * 128
+                + crow_lane];
+            sc += static_cast<int64_t>(d) * d;
+          }
+          for (int64_t j = ext_ptr[e]; j < ext_ptr[e + 1]; ++j) {
+            const int32_t d = D[row_of(ext_wc[j]) * 128 + l];
+            sc += static_cast<int64_t>(d) * d;
+          }
+          if (sc < best_score) {
+            best_score = sc;
+            best_s = s;
+            best_l = l;
+            if (sc == 0) break;  // cannot improve on an empty cell set
+          }
+        }
+        if (best_score == 0) break;
+      }
+      const int64_t sup = sup0 + best_s;
+      const int sub = fill[best_s * 128 + best_l];
+      out_idx[e] = sup * sup_rows
+          + static_cast<int64_t>(sub) * 128 + best_l;
+      cap[best_s * 128 + best_l] -= 1;
+      fill[best_s * 128 + best_l] += 1;
+      int32_t* D = depth.data()
+          + (hashed ? 0 : static_cast<size_t>(sup) * n_wc * 128);
+      for (int64_t j = ext_ptr[e]; j < ext_ptr[e + 1]; ++j) {
+        size_t row;
+        if (!hashed) {
+          row = static_cast<size_t>(ext_wc[j]);
+        } else {
+          uint64_t kk = static_cast<uint64_t>(sup * n_wc + ext_wc[j])
+              * 0x9E3779B97F4A7C15ull;
+          row = static_cast<size_t>((kk >> 24) & h_mask);
+        }
+        D[row * 128 + best_l] += 1;
+      }
+      if (crow >= 0)
+        cdepth[crow_of(crow_sup, sup, sub) * 128 + crow_lane] += 1;
+    }
+  }
+}
+
 void mtx_fetch(void* handle, int32_t* rows, int32_t* cols, float* vals) {
   auto* d = static_cast<MtxData*>(handle);
   std::memcpy(rows, d->rows.data(), d->rows.size() * sizeof(int32_t));
