@@ -43,16 +43,18 @@ def main():
     print(f"STREAM {stream:.0f} GB/s", flush=True)
 
     configs = [
-        ("legacy  beta=0   win=0 S=128", 0.0, 0, 128),
-        ("new     beta=2.6 win=1 S=128", None, 1, 128),
-        ("new     beta=2.6 win=1 S=384", None, 1, 384),
-        ("legacy  beta=0   win=0 S=384", 0.0, 0, 384),
+        ("legacy  beta=0   win=0 S=128", 0.0, 1, 0, 128),
+        ("new     beta=2.6 win=1 S=128", None, 1, 1, 128),
+        ("slack0  beta=2.2 win=1 S=128", 2.2, 0, 1, 128),
+        ("new     beta=2.6 win=1 S=384", None, 1, 1, 384),
+        ("legacy  beta=0   win=0 S=384", 0.0, 1, 0, 384),
     ]
-    for label, beta, win, S in configs:
+    for label, beta, slack, win, S in configs:
         os.environ["TPU_SPMV_BALANCE_WINDOW"] = str(win)
         t0 = time.time()
         ph = WindowEllPlan.build(csr, split_rows=128, step_groups=S,
-                                 spill_beta=beta, device=cpu0)
+                                 spill_beta=beta, cap_slack=slack,
+                                 device=cpu0)
         leaves, aux = ph.tree_flatten()
         p = WindowEllPlan.tree_unflatten(
             aux, tuple(jax.device_put(np.asarray(a), dev) for a in leaves))

@@ -102,3 +102,27 @@ def test_load_missing_file(tmp_path):
 
     with pytest.raises(FileIOError):
         load_plan(str(tmp_path / "missing.npz"))
+
+
+def test_banded_plan_roundtrip(tmp_path, rng):
+    from tpu_spmv.kernels.window_ell import (BandedPlan, build_banded,
+                                             spmv_banded)
+    from tpu_spmv.utils.testing import web_graph_csr
+
+    csr = web_graph_csr(rng, 6000, 2100, avg_nnz=9)
+    bp = build_banded(csr, sup=1024, n_bands=3, spill_beta=2.6)
+    path = str(tmp_path / "banded.npz")
+    bp.save(path)
+    loaded = BandedPlan.load(path)
+    assert isinstance(loaded, BandedPlan)
+    assert len(loaded.plans) == len(bp.plans)
+    assert (loaded.num_rows, loaded.num_cols) == (bp.num_rows, bp.num_cols)
+    for p0, p1 in zip(bp.plans, loaded.plans):
+        _, a0 = p0.tree_flatten()
+        _, a1 = p1.tree_flatten()
+        assert a0 == a1
+        for a, b in zip(p0.tree_flatten()[0], p1.tree_flatten()[0]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    x = rng.vector(2100)
+    y = np.asarray(spmv_banded(loaded, x))
+    assert spmv_matches(y, csr, x, rel_tol=1e-5)

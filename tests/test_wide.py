@@ -149,3 +149,69 @@ class TestCompositePageRank:
         ranks = np.asarray(res.ranks)
         assert np.isfinite(ranks).all()
         assert abs(ranks.sum() - 1.0) < 1e-3
+
+
+class TestBandedPlans:
+    """Row-banded plans (round-3): guard-oversized wide plans split into
+    per-band full plans instead of escalating the superblock height —
+    the same load-shaping role as the reference's merge-path row
+    splitting (``spmv_kernels.cu:75-130``) at matrix scale."""
+
+    def test_banded_matches_oracle_across_band_counts(self, rng):
+        from tpu_spmv.kernels.window_ell import build_banded, spmv_banded
+
+        m = web_graph_csr(rng, 6000, 2100, avg_nnz=9)
+        x = rng.vector(2100)
+        ys = []
+        for nb in (1, 2, 3):
+            bp = build_banded(m, sup=1024, n_bands=nb, spill_beta=2.6)
+            assert len(bp.plans) == nb
+            assert sum(p.num_rows for p in bp.plans) == m.num_rows
+            y = np.asarray(spmv_banded(bp, x))
+            assert spmv_matches(y, m, x, rel_tol=1e-5), nb
+            ys.append(y)
+
+    def test_build_auto_unwraps_single_band(self, rng):
+        from tpu_spmv.kernels.window_ell import WindowEllPlan, build_auto
+
+        m = rng.power_law_csr(8192, 2048, avg_nnz=8, alpha=1.6)
+        fn, plan = build_auto(m)
+        assert isinstance(plan, WindowEllPlan)
+        x = rng.vector(2048)
+        assert spmv_matches(np.asarray(fn(plan, x)), m, x, rel_tol=1e-5)
+
+    def test_dispatch_bands_oversized_plans(self, rng, monkeypatch):
+        """Shrinking the SMEM group cap must route the public dispatch
+        to a BandedPlan (not the composite/scalar fallbacks) and stay
+        correct — the 1M-row web-graph path at test scale."""
+        import tpu_spmv.kernels.window_ell as we
+        from tpu_spmv.kernels.window_ell import BandedPlan, build_auto
+
+        m = web_graph_csr(rng, 30000, 8000, avg_nnz=9)
+        x = rng.vector(8000)
+        _, natural = build_auto(m)
+        monkeypatch.setattr(we, "MAX_GROUPS", natural.n_groups // 2)
+        m2 = web_graph_csr(rng, 30000, 8000, avg_nnz=9)
+        res = spmv_csr(m2, x, SpMVConfig(kernel_type=KernelType.VECTOR_CSR))
+        assert res.error_code == 0
+        fn, plan = m2._plan_cache[(int(KernelType.VECTOR_CSR), None)]
+        assert isinstance(plan, BandedPlan)
+        assert len(plan.plans) >= 2
+        assert all(p.n_groups <= natural.n_groups // 2 for p in plan.plans)
+        assert spmv_matches(np.asarray(res.y), m2, x, rel_tol=1e-5)
+
+    def test_banded_adaptive_halving(self, rng, monkeypatch):
+        """A band that still overflows the patched cap must be halved
+        recursively (bands need not be equal-sized)."""
+        import tpu_spmv.kernels.window_ell as we
+        from tpu_spmv.kernels.window_ell import build_banded, spmv_banded
+
+        m = web_graph_csr(rng, 20000, 4000, avg_nnz=9)
+        x = rng.vector(4000)
+        _, natural = we.build_auto(m)
+        monkeypatch.setattr(we, "MAX_GROUPS", natural.n_groups // 4)
+        # deliberately under-banded: the builder must recover by halving
+        bp = build_banded(m, sup=1024, n_bands=2)
+        assert len(bp.plans) >= 2
+        assert spmv_matches(np.asarray(spmv_banded(bp, x)), m, x,
+                            rel_tol=1e-5)

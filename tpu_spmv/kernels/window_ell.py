@@ -682,17 +682,26 @@ class WindowEllPlan:
         # per-group window/base indices are scalar-prefetched into SMEM
         # (~1 MB); refuse plans whose prefetch would not fit
         if n_groups_pad > MAX_GROUPS:
-            raise WindowEllOverflow(
+            err = WindowEllOverflow(
                 f"window-ELL plan needs {n_groups_pad} groups; the "
                 f"per-group window table would exceed SMEM")
+            # sizing hint for build_banded: bands needed to fit SMEM
+            err.needed_groups = n_groups_pad
+            raise err
         out8 = extras_base // LANE + e8
         cols8 = cols_pad // LANE
         vmem_bytes = (cols8 + e8 + out8) * LANE * 4 \
             + 2 * S * CHUNKS * LANE * 6
         if vmem_bytes > VMEM_BUDGET:
-            raise WindowEllOverflow(
+            err = WindowEllOverflow(
                 f"window-ELL working set {vmem_bytes} B exceeds the VMEM "
                 f"budget {VMEM_BUDGET} B")
+            # sizing hints for build_banded: the x-block + double-buffer
+            # bytes do not shrink with row banding; the output/extras
+            # tables do
+            err.vmem_fixed = cols8 * LANE * 4 + 2 * S * CHUNKS * LANE * 6
+            err.vmem_var = (e8 + out8) * LANE * 4
+            raise err
 
         n_steps = _pad_geo(n_blocks)
         blk = np.full(n_steps, -1, np.int32)
@@ -758,25 +767,28 @@ def _use_interpret() -> bool:
     return jax.devices()[0].platform != "tpu"
 
 
-def _choose_sup(csr: CSRMatrix) -> int:
+def _choose_sup(csr: CSRMatrix, with_groups: bool = False):
     """Pick the superblock height by the measured cost model.
 
     For each candidate, estimate streamed slots (bucket-capped groups plus
     an extras-region term for the spilled mass) and score them at the
     measured per-slot rates (HBM stream + per-target masked-sum scatter).
     Candidates whose group count would blow the SMEM prefetch budget are
-    skipped.
+    skipped unless row banding can subdivide them (see
+    :func:`build_auto`).  ``with_groups=True`` also returns the winner's
+    estimated group count (0 = unknown), letting ``build_auto`` pre-size
+    bands instead of paying a doomed full-matrix build.
     """
     nnz = csr.nnz
     if nnz == 0:
-        return SUP_LEVELS[0]
+        return (SUP_LEVELS[0], 0) if with_groups else SUP_LEVELS[0]
     cols_pad = _bucket(max(csr.num_cols, 1))
     n_windows = cols_pad // WINDOW
     n_sups0 = -(-max(csr.num_rows, 1) // SUP_LEVELS[0])
     # short-circuit: when narrow (1024-row) buckets are already deep, the
     # narrow mode always wins (wider superblocks only add scatter targets)
     if nnz / (n_sups0 * n_windows * (CHUNKS * LANE)) >= 8.0:
-        return SUP_LEVELS[0]
+        return (SUP_LEVELS[0], 0) if with_groups else SUP_LEVELS[0]
     # sample the nnz for the full model (mode choice only needs relative
     # costs; group counts are re-scaled by the stride)
     stride = max(nnz // 2_000_000, 1)
@@ -802,13 +814,19 @@ def _choose_sup(csr: CSRMatrix) -> int:
         groups = (int(np.minimum(lmax, cap).sum())
                   + -(-spilled // (LANE * CHUNKS // 3))) * stride
         slots = groups * CHUNKS * LANE
-        # mirror the build-time guards: SMEM prefetch and inflation
-        if groups > MAX_GROUPS or (slots > 64.0 * nnz and slots > (1 << 22)):
+        # mirror the build-time guards: inflation always disqualifies;
+        # the SMEM prefetch cap only when row banding cannot subdivide
+        # (build_auto rescues over-MAX_GROUPS candidates as a BandedPlan)
+        if slots > 64.0 * nnz and slots > (1 << 22):
+            continue
+        if groups > MAX_GROUPS and csr.num_rows <= s:
             continue
         cost = groups * (_STREAM_PS + _SCATTER_PS[s])
         if best_cost is None or cost < best_cost:
-            best, best_cost = s, cost
-    return best if best is not None else SUP_LEVELS[-1]
+            best, best_cost, best_groups = s, cost, groups
+    if best is None:
+        best, best_groups = SUP_LEVELS[-1], 0
+    return (best, best_groups) if with_groups else best
 
 
 @functools.lru_cache(maxsize=64)
@@ -1119,3 +1137,207 @@ def spmv_composite(cp: CompositePlan, x: jax.Array) -> jax.Array:
             cp.tail, pad_x(x, _bucket(max(cp.tail.num_cols, 1))),
         )[: cp.num_rows]
     return y
+
+
+# ---- banded plans: row bands as independent plans (guard-bounded scale) --
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class BandedPlan:
+    """A row-banded stack of window-ELL plans, outputs concatenated.
+
+    A single plan's per-group SMEM window table caps ``n_groups`` at
+    ``MAX_GROUPS`` and the resident output block caps rows+extras by
+    VMEM.  At web-graph scale (1M rows) those guards force the WIDE
+    superblock (sup=16384, 128 scatter targets at ~0.55 ps/slot/target)
+    even when the slot accounting favors sup=4096 — the mid mode needs
+    ~300K groups there (benchmarks/sweep_caps_wide.py).  Banding the
+    ROWS restores the choice: each band is its own complete plan
+    (splits, spill extras and the in-kernel combine all confined to the
+    band), ``y = concat(band_i(x))``, ``x`` shared by every band.  The
+    only re-streamed bytes are the x gather block (``cols*4`` B per
+    extra band — noise against the GB-scale packed stream).
+
+    Like the reference's merge-path splitting this is a load-shaping
+    transform of the SAME kernel, not a new kernel
+    (``/root/reference/src/spmv_kernels.cu:75-130``).
+    """
+
+    plans: tuple             # WindowEllPlan per band, in row order
+    num_rows: int
+    num_cols: int
+
+    def tree_flatten(self):
+        return ((self.plans,), (self.num_rows, self.num_cols))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(tuple(children[0]), *aux)
+
+    @property
+    def n_groups(self) -> int:
+        return sum(p.n_groups for p in self.plans)
+
+    @property
+    def sup(self) -> int:
+        return max(p.sup for p in self.plans)
+
+    @property
+    def occupancy(self) -> float:
+        tot = sum(p.n_groups * CHUNKS * LANE for p in self.plans)
+        nnz = sum(float(p.occupancy) * p.n_groups * CHUNKS * LANE
+                  for p in self.plans)
+        return nnz / tot if tot else 0.0
+
+    @property
+    def sbn(self) -> bool:
+        return all(p.sbn for p in self.plans)
+
+    def save(self, path: str) -> None:
+        from ..plan_io import save_plan
+
+        save_plan(self, path)
+
+    @staticmethod
+    def load(path: str, device=None) -> "BandedPlan":
+        from ..plan_io import load_plan
+
+        return load_plan(path, device=device)
+
+
+def _bands_from_overflow(e: WindowEllOverflow) -> int:
+    """Band count suggested by an overflow's sizing hints (0/1 = banding
+    cannot help: inflation guard, or the x block alone blows VMEM)."""
+    n_bands = 1
+    if getattr(e, "needed_groups", 0):
+        n_bands = max(n_bands, -(-int(e.needed_groups * 1.1)
+                                 // int(MAX_GROUPS * 0.9)))
+    if getattr(e, "vmem_var", 0):
+        head = VMEM_BUDGET - getattr(e, "vmem_fixed", 0)
+        if head <= 0:
+            return 0  # x block alone blows VMEM — banding cannot help
+        n_bands = max(n_bands, -(-int(e.vmem_var * 1.15) // head))
+    return n_bands
+
+
+def _slice_rows(csr: CSRMatrix, a: int, b: int) -> CSRMatrix:
+    """The row band ``[a, b)`` as an independent CSR (same cols)."""
+    lo, hi = int(csr.row_ptrs[a]), int(csr.row_ptrs[b])
+    ptr = (csr.row_ptrs[a:b + 1].astype(np.int64) - lo).astype(np.int32)
+    return CSRMatrix(b - a, csr.num_cols, csr.values[lo:hi],
+                     csr.col_indices[lo:hi], ptr)
+
+
+def build_banded(csr: CSRMatrix, sup: int, n_bands: int | None = None,
+                 split_rows: int | None = None,
+                 step_groups: int | None = None, cap_slack: int = 0,
+                 spill_beta: float | None = None,
+                 device=None) -> BandedPlan:
+    """Build a :class:`BandedPlan` at the given superblock height.
+
+    ``n_bands=None`` sizes the bands adaptively: a first full-matrix
+    attempt either fits (one band) or raises with sizing hints
+    (``needed_groups`` / ``vmem_var``) that determine the split; any
+    band that still overflows is halved recursively.  Bands are cut at
+    multiples of ``sup`` so superblock fill stays even.  Raises
+    :class:`WindowEllOverflow` when a single-superblock band still
+    cannot fit (structure too adversarial — callers fall back).
+    """
+    kw = dict(split_rows=split_rows, step_groups=step_groups,
+              cap_slack=cap_slack, spill_beta=spill_beta, device=device)
+    if n_bands is None:
+        try:
+            p = WindowEllPlan.build(csr, sup=sup, **kw)
+            return BandedPlan(plans=(p,), num_rows=csr.num_rows,
+                              num_cols=csr.num_cols)
+        except WindowEllOverflow as e:
+            n_bands = _bands_from_overflow(e)
+            if n_bands < 2:
+                raise  # inflation guard or similar — banding cannot help
+    n_sups = -(-csr.num_rows // sup)
+    n_bands = max(1, min(n_bands, n_sups))
+    # initial cuts: equal sup counts per band
+    cuts = [min(csr.num_rows, sup * (n_sups * i // n_bands))
+            for i in range(n_bands + 1)]
+    todo = [(cuts[i], cuts[i + 1]) for i in range(n_bands)
+            if cuts[i] < cuts[i + 1]]
+    plans, done_rows = [], 0
+    while todo:
+        a, b = todo.pop(0)
+        try:
+            plans.append(WindowEllPlan.build(_slice_rows(csr, a, b),
+                                             sup=sup, **kw))
+            done_rows = b
+        except WindowEllOverflow:
+            if b - a <= sup:
+                raise
+            mid = a + sup * (-(-(b - a) // sup) // 2)
+            todo[:0] = [(a, mid), (mid, b)]
+    assert done_rows == csr.num_rows
+    return BandedPlan(plans=tuple(plans), num_rows=csr.num_rows,
+                      num_cols=csr.num_cols)
+
+
+@jax.jit
+def spmv_banded(bp: BandedPlan, x: jax.Array) -> jax.Array:
+    """``y = A @ x`` over a banded plan: per-band kernels, concatenated."""
+    x = jnp.asarray(x, jnp.float32)
+    ys = [spmv_window_ell(p, x) for p in bp.plans]
+    return ys[0] if len(ys) == 1 else jnp.concatenate(ys)
+
+
+def build_auto(csr: CSRMatrix, split_rows: int | None = None,
+               step_groups: int | None = None,
+               choice: tuple | None = None,
+               device=None):
+    """Resolve the best packed layout for ``csr``: a single
+    :class:`WindowEllPlan` when it fits, else a :class:`BandedPlan` at
+    the cost-model superblock before escalating to wider superblocks.
+
+    Returns ``(kernel_fn, plan)`` — the dispatch-facing entry
+    (``spmv.py`` C12).  The escalation order matters: banding at the
+    cost-model's preferred height beats escalating to the next height
+    whenever the model's scatter-cost ordering holds (a 4096-row band
+    plan scatters at ~1/3 the per-slot cost of a 16384 single plan —
+    docs/PERF.md scatter table), so banding is tried FIRST at each
+    level.
+    """
+    start, groups_est = choice if choice is not None \
+        else _choose_sup(csr, with_groups=True)
+    err = None
+    for s in SUP_LEVELS[SUP_LEVELS.index(start):]:
+        narrow = s == SUP_LEVELS[0]
+        slack = 2 if s >= 4096 else 1
+        split = split_rows if narrow else None
+        # pre-size bands when the sampled model already says the single
+        # plan cannot fit SMEM — skips a doomed full-matrix build (the
+        # estimate only applies to the model's chosen height)
+        nb0 = 0
+        if s == start and groups_est > MAX_GROUPS and csr.num_rows > s:
+            nb0 = -(-int(groups_est * 1.1) // int(MAX_GROUPS * 0.9))
+        try:
+            if nb0 >= 2:
+                bp = build_banded(
+                    csr, sup=s, n_bands=nb0, split_rows=split,
+                    step_groups=step_groups, cap_slack=slack,
+                    device=device)
+                return (spmv_banded, bp) if len(bp.plans) > 1 \
+                    else (spmv_window_ell, bp.plans[0])
+            p = WindowEllPlan.build(
+                csr, split_rows=split, step_groups=step_groups,
+                cap_slack=slack, sup=s, device=device)
+            return spmv_window_ell, p
+        except WindowEllOverflow as e:
+            err = e
+            nb = _bands_from_overflow(e)
+            if csr.num_rows <= s or nb < 2:
+                continue  # banding cannot help at this height
+            try:
+                bp = build_banded(
+                    csr, sup=s, n_bands=nb, split_rows=split,
+                    step_groups=step_groups, cap_slack=slack,
+                    device=device)
+                return spmv_banded, bp
+            except WindowEllOverflow as e2:
+                err = e2
+    raise err

@@ -52,13 +52,20 @@ def _window_from(prefix: str, z, meta: dict, put):
 def save_plan(plan, path: str) -> None:
     """Serialize a built :class:`~tpu_spmv.kernels.window_ell.WindowEllPlan`
     or :class:`~tpu_spmv.kernels.window_ell.CompositePlan` to ``path``."""
-    from .kernels.window_ell import CompositePlan, WindowEllPlan
+    from .kernels.window_ell import BandedPlan, CompositePlan, WindowEllPlan
 
     arrays: dict = {}
     meta: dict = {"version": _VERSION}
     if isinstance(plan, WindowEllPlan):
         meta["kind"] = "window_ell"
         _window_entry(plan, "p_", arrays, meta)
+    elif isinstance(plan, BandedPlan):
+        meta["kind"] = "banded"
+        meta["n_bands"] = len(plan.plans)
+        meta["num_rows"] = plan.num_rows
+        meta["num_cols"] = plan.num_cols
+        for i, p in enumerate(plan.plans):
+            _window_entry(p, f"b{i}_", arrays, meta)
     elif isinstance(plan, CompositePlan):
         meta["kind"] = "composite"
         meta["n_levels"] = len(plan.plans)
@@ -111,6 +118,13 @@ def load_plan(path: str, device=None):
         kind = meta.get("kind")
         if kind == "window_ell":
             return _window_from("p_", z, meta, put)
+        if kind == "banded":
+            from .kernels.window_ell import BandedPlan
+
+            return BandedPlan(
+                plans=tuple(_window_from(f"b{i}_", z, meta, put)
+                            for i in range(meta["n_bands"])),
+                num_rows=meta["num_rows"], num_cols=meta["num_cols"])
         if kind == "composite":
             plans = tuple(_window_from(f"l{i}_", z, meta, put)
                           for i in range(meta["n_levels"]))

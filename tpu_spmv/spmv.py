@@ -119,7 +119,7 @@ def _plan_for(A: CSRMatrix, kernel_type: KernelType,
     sparse ones (where the cost model picks a wide superblock) get the
     multi-level composite layout (see ``window_ell.CompositePlan``)."""
     from .kernels.window_ell import (
-        SUP_LEVELS, _choose_sup, build_composite, spmv_composite)
+        _choose_sup, build_auto, build_composite, spmv_composite)
 
     key = (int(kernel_type), step_groups)
     if key not in A._plan_cache:
@@ -127,21 +127,19 @@ def _plan_for(A: CSRMatrix, kernel_type: KernelType,
             else None
         if A.num_cols <= VMEM_X_MAX_COLS:
             if "_sup" not in A._plan_cache:   # O(nnz) sampled model — cache
-                A._plan_cache["_sup"] = _choose_sup(A)
-            s = A._plan_cache["_sup"]
+                A._plan_cache["_sup"] = _choose_sup(A, with_groups=True)
             # (A cap-keep composite for the narrow merge path was measured
             # SLOWER than the in-plan extras fold — 265 vs 241 µs on the
             # headline: a final-level plan re-packs the over-cap mass at
             # original row positions and hits the shallow-bucket floor the
             # synthetic extras rows exist to avoid.  docs/PERF.md.)
-            # row splitting only matters for narrow superblocks — wide
-            # ones spread even very long rows across windows and chunks
-            split = split if s == SUP_LEVELS[0] else None
+            # build_auto gates row splitting to narrow superblocks and
+            # rescues guard-oversized wide plans as a row-banded stack
+            # (BandedPlan) before escalating the superblock height.
             try:
-                A._plan_cache[key] = (
-                    spmv_window_ell,
-                    WindowEllPlan.build(A, step_groups=step_groups,
-                                        split_rows=split))
+                A._plan_cache[key] = build_auto(
+                    A, step_groups=step_groups, split_rows=split,
+                    choice=A._plan_cache["_sup"])
                 return A._plan_cache[key]
             except WindowEllOverflow:
                 pass
