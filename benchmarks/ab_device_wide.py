@@ -1,12 +1,15 @@
-"""On-device A/B of wide-class (web-graph) planner lever settings.
+"""On-device A/B of wide-class (web-graph) planner configurations.
 
-CPU slot accounting (benchmarks/sweep_caps_wide.py) says order-statistic
-spill caps at cap_slack<=1 cut wide-plan groups 20-35% on web graphs —
-this measures whether the scatter-bound wall clock follows.  Configs
-span the legacy default (slack=2, margin caps) and the beta-cap
-candidates at sup=4096.
+CPU slot accounting (benchmarks/sweep_caps_wide.py) says the sup=4096
+mode needs ~2x fewer slot-cost units than sup=16384 on the 1M-node web
+graph once row banding lifts the SMEM group cap (docs/PERF.md scatter
+table: 32 targets at ~25 ps/slot vs 128 at ~43-80), and order-statistic
+spill caps (spill_beta) with low slack cut groups a further 20-35%.
+This measures the wall clock for each candidate against the round-3
+dispatch baseline (single sup=16384 plan, margin caps).
 
-Usage: python benchmarks/ab_device_wide.py [--rows N]  (real TPU)
+Usage: python benchmarks/ab_device_wide.py [--rows N]  (real TPU,
+~15 min at 1M rows: three plan builds + ~GB-scale uploads)
 """
 
 from __future__ import annotations
@@ -23,7 +26,7 @@ sys.path.insert(0, ".")
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--rows", type=int, default=262144)
+    ap.add_argument("--rows", type=int, default=1_000_000)
     args = ap.parse_args()
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           "/root/.cache/jax_comp_cache")
@@ -32,7 +35,9 @@ def main():
     import jax.numpy as jnp
 
     from tpu_spmv.bandwidth import measured_stream_bandwidth
-    from tpu_spmv.kernels.window_ell import WindowEllPlan, spmv_window_ell
+    from tpu_spmv.kernels.window_ell import (
+        BandedPlan, WindowEllPlan, build_auto, build_banded, spmv_banded,
+        spmv_window_ell)
     from tpu_spmv.timing import time_jitted
     from tpu_spmv.utils.testing import (RandomGenerator, spmv_matches,
                                         web_graph_csr)
@@ -52,32 +57,44 @@ def main():
     bm = (csr.nnz * 8 + (csr.num_rows + 1) * 4 + csr.num_cols * 4
           + csr.num_rows * 4)
 
-    configs = [
-        ("legacy auto (slack=2, margin)", None, 0.0, 2, 0),
-        ("beta=2.6 slack=1 win=1", 4096, None, 1, 1),
-        ("beta=2.6 slack=0 win=1", 4096, 2.6, 0, 1),
-        ("beta=2.6 slack=0 sup=16384", 16384, 2.6, 0, 1),
-    ]
-    for label, sup, beta, slack, win in configs:
-        os.environ["TPU_SPMV_BALANCE_WINDOW"] = str(win)
+    def build_cfg(label):
+        if label == "r3-baseline sup=16384":
+            p = WindowEllPlan.build(csr, sup=16384, cap_slack=2,
+                                    device=cpu0)
+            return spmv_window_ell, p
+        if label == "dispatch build_auto":
+            return build_auto(csr, device=cpu0)
+        if label == "banded4096 beta=2.6 slack=1":
+            return spmv_banded, build_banded(
+                csr, sup=4096, spill_beta=2.6, cap_slack=1, device=cpu0)
+        if label == "banded4096 beta=2.6 slack=0":
+            return spmv_banded, build_banded(
+                csr, sup=4096, spill_beta=2.6, cap_slack=0, device=cpu0)
+        raise ValueError(label)
+
+    os.environ["TPU_SPMV_BALANCE_WINDOW"] = "1"
+    for label in ("r3-baseline sup=16384", "dispatch build_auto",
+                  "banded4096 beta=2.6 slack=0",
+                  "banded4096 beta=2.6 slack=1"):
         t0 = time.time()
         try:
-            ph = WindowEllPlan.build(csr, spill_beta=beta, sup=sup,
-                                     cap_slack=slack, device=cpu0)
+            fn, ph = build_cfg(label)
         except Exception as e:
             print(f"{label}: build failed {type(e).__name__} {e}",
                   flush=True)
             continue
-        leaves, aux = ph.tree_flatten()
-        p = WindowEllPlan.tree_unflatten(
-            aux, tuple(jax.device_put(np.asarray(a), dev) for a in leaves))
+        p = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(ph),
+            [jax.device_put(np.asarray(a), dev)
+             for a in jax.tree_util.tree_leaves(ph)])
         build_s = time.time() - t0
-        y = np.asarray(spmv_window_ell(p, x))
+        y = np.asarray(fn(p, x))
         ok = spmv_matches(y, csr, x_h, rel_tol=1e-5)
-        s = time_jitted(spmv_window_ell, p, x, iters=100,
-                        samples=5, estimator="median")
-        print(f"{label}: sup={p.sup} groups={p.n_groups} "
-              f"occ={ph.occupancy:.4f} build={build_s:.0f}s ok={ok} "
+        s = time_jitted(fn, p, x, iters=60, samples=5, estimator="median")
+        n_plans = len(getattr(ph, "plans", (1,)))
+        print(f"{label}: kind={type(ph).__name__}/{n_plans} sup={ph.sup} "
+              f"groups={ph.n_groups} occ={ph.occupancy:.4f} "
+              f"build={build_s:.0f}s ok={ok} "
               f"t={s*1e3:.2f} ms = {bm/s/1e9:.2f} GB/s", flush=True)
 
 
