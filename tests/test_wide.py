@@ -215,3 +215,31 @@ class TestBandedPlans:
         assert len(bp.plans) >= 2
         assert spmv_matches(np.asarray(spmv_banded(bp, x)), m, x,
                             rel_tol=1e-5)
+
+    def test_pagerank_over_banded_dispatch(self, rng, monkeypatch):
+        """PageRank's jitted while_loop must accept BandedPlan args
+        (the dispatch returns them for guard-oversized wide graphs —
+        the 1M-node reference capacity class, requirements.md:104)."""
+        import tpu_spmv.kernels.window_ell as we
+        from tpu_spmv.pagerank import PageRankConfig, pagerank
+
+        def norm_graph():
+            r = RandomGenerator(7)
+            m = web_graph_csr(r, 30000, 30000, avg_nnz=9)
+            m.values = np.abs(m.values)
+            colsum = np.zeros(30000, np.float32)
+            np.add.at(colsum, m.col_indices, m.values)
+            m.values = m.values / np.where(
+                colsum[m.col_indices] != 0, colsum[m.col_indices], 1.0)
+            return m
+
+        _, natural = we.build_auto(norm_graph())
+        monkeypatch.setattr(we, "MAX_GROUPS", natural.n_groups // 2)
+        m = norm_graph()
+        res = pagerank(m, PageRankConfig(max_iterations=12, tolerance=0.0))
+        assert res.error_code == 0
+        key = [k for k in m._plan_cache if k != "_sup"][0]
+        assert m._plan_cache[key][1].__class__.__name__ == "BandedPlan"
+        ranks = np.asarray(res.ranks)
+        assert np.isfinite(ranks).all()
+        assert abs(ranks.sum() - 1.0) < 1e-3
