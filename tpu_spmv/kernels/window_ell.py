@@ -789,30 +789,62 @@ def _choose_sup(csr: CSRMatrix, with_groups: bool = False):
     # narrow mode always wins (wider superblocks only add scatter targets)
     if nnz / (n_sups0 * n_windows * (CHUNKS * LANE)) >= 8.0:
         return (SUP_LEVELS[0], 0) if with_groups else SUP_LEVELS[0]
-    # sample the nnz for the full model (mode choice only needs relative
-    # costs; group counts are re-scaled by the stride)
-    stride = max(nnz // 2_000_000, 1)
+    # Sample WHOLE SUPERBLOCKS (all nonzeros of every m-th sup row band)
+    # rather than striding nonzeros: the model mirrors the builder's
+    # order-statistic layer caps (spill_beta ~2.6, cap_slack 1), and
+    # order statistics of per-cell depths are destroyed by nnz striding
+    # (shallow cells have depth 1-5; scaling a strided count back up
+    # mis-ranks them, which flipped the selection with the stride).
+    # Within a sampled bucket depths are EXACT; group counts scale by
+    # the sampling factor afterwards.  The round-2 model's nnz striding
+    # additionally over-counted shallow-bucket floors stride-fold (1M
+    # web graph: est 424K groups at sup=16384 vs 165K actual).
+    # Validated against built plans: est/actual 0.96-0.97 on the 262K
+    # web graph (sup=4096) and the 10M headline; ~1.4 at sup=16384
+    # (its high measured per-slot scatter cost dominates selection
+    # anyway).
     rows_of = np.repeat(np.arange(csr.num_rows, dtype=np.int64),
-                        np.diff(csr.row_ptrs).astype(np.int64))[::stride]
-    cols64 = csr.col_indices[::stride].astype(np.int64)
-    w = cols64 // WINDOW
-    lane = rows_of % LANE
-    c = (cols64 // LANE) % CHUNKS
+                        np.diff(csr.row_ptrs).astype(np.int64))
+    cols64 = csr.col_indices.astype(np.int64)
     best, best_cost = None, None
     for s in SUP_LEVELS:
-        n_tb = s // LANE
-        bucket = (rows_of // s) * n_windows + w
-        cell = bucket * (CHUNKS * LANE) + c * LANE + lane
-        layer = _cumcount(cell)
+        sup_id = rows_of // s
+        n_sups = -(-csr.num_rows // s)
+        # target ~1M sampled nnz in whole-superblock units
+        m = max(1, min(nnz // 1_000_000, n_sups))
+        if m > 1:
+            sel = sup_id % m == 0
+            rws, cls, sid = rows_of[sel], cols64[sel], sup_id[sel]
+        else:
+            rws, cls, sid = rows_of, cols64, sup_id
+        w = cls // WINDOW
+        lane = rws % LANE
+        c = (cls // LANE) % CHUNKS
+        bucket = sid * n_windows + w
         ub, binv, bcnt = _unique_ic(bucket)
-        cap = np.maximum(
-            -(-(bcnt + (bcnt * 0.3).astype(np.int64)) // (CHUNKS * LANE)),
-            -(-bcnt // (CHUNKS * LANE)))
+        cell = binv * (CHUNKS * LANE) + c * LANE + lane
+        ucell, _, dcount = _unique_ic(cell)
+        cb = ucell // (CHUNKS * LANE)
+        k = int(CHUNKS * LANE / 2.6) + 1
+        order = np.lexsort((-dcount, cb))
+        kth = _cumcount(cb[order]) == (k - 1)
+        cap = np.zeros(len(ub), np.int64)
+        cap[cb[order][kth]] = dcount[order][kth]
+        cap += 1                              # cap_slack
         lmax = np.zeros(len(ub), np.int64)
-        np.maximum.at(lmax, binv, layer + 1)
-        spilled = int((layer >= cap[binv]).sum())
-        groups = (int(np.minimum(lmax, cap).sum())
-                  + -(-spilled // (LANE * CHUNKS // 3))) * stride
+        np.maximum.at(lmax, cb, dcount)
+        kept = int(np.minimum(lmax, cap).sum())
+        spilled = int((dcount - cap[cb]).clip(0).sum())
+        # Extras-region occupancy scales with the superblock height
+        # (more rows per bucket -> denser extras cells): measured
+        # 0.012-0.021 / 0.03-0.056 / 0.08-0.13 on the 65K/262K/1M
+        # web graphs for sup 1024/4096/16384.  The dense-narrow class
+        # (high extras occupancy) short-circuits above and never
+        # reaches this estimate.
+        occ_e = {1024: 0.018, 4096: 0.04, 16384: 0.09}[s]
+        sampled_sups = -(-n_sups // m)
+        groups = int((kept + spilled / (CHUNKS * LANE * occ_e))
+                     * (n_sups / sampled_sups))
         slots = groups * CHUNKS * LANE
         # mirror the build-time guards: inflation always disqualifies;
         # the SMEM prefetch cap only when row banding cannot subdivide
@@ -1307,25 +1339,33 @@ def build_auto(csr: CSRMatrix, split_rows: int | None = None,
     err = None
     for s in SUP_LEVELS[SUP_LEVELS.index(start):]:
         narrow = s == SUP_LEVELS[0]
-        slack = 2 if s >= 4096 else 1
+        # order-statistic spill caps at every height (narrow defaults to
+        # beta=2.6 inside _build; wide heights need it explicit): with
+        # banding lifting the SMEM cap, the beta caps' smaller slot
+        # counts win at wide superblocks too (262K web graph, legacy
+        # slack-2 margin caps vs beta slack-1: 46416 -> 31928 groups)
+        slack = 1
+        beta = 2.6
         split = split_rows if narrow else None
         # pre-size bands when the sampled model already says the single
         # plan cannot fit SMEM — skips a doomed full-matrix build (the
         # estimate only applies to the model's chosen height)
         nb0 = 0
         if s == start and groups_est > MAX_GROUPS and csr.num_rows > s:
-            nb0 = -(-int(groups_est * 1.1) // int(MAX_GROUPS * 0.9))
+            # 1.25 margin: over-banding costs one extra x-block stream
+            # per band; an under-banded attempt costs a rebuilt band
+            nb0 = -(-int(groups_est * 1.25) // int(MAX_GROUPS * 0.9))
         try:
             if nb0 >= 2:
                 bp = build_banded(
                     csr, sup=s, n_bands=nb0, split_rows=split,
                     step_groups=step_groups, cap_slack=slack,
-                    device=device)
+                    spill_beta=beta, device=device)
                 return (spmv_banded, bp) if len(bp.plans) > 1 \
                     else (spmv_window_ell, bp.plans[0])
             p = WindowEllPlan.build(
                 csr, split_rows=split, step_groups=step_groups,
-                cap_slack=slack, sup=s, device=device)
+                cap_slack=slack, sup=s, spill_beta=beta, device=device)
             return spmv_window_ell, p
         except WindowEllOverflow as e:
             err = e
@@ -1336,7 +1376,7 @@ def build_auto(csr: CSRMatrix, split_rows: int | None = None,
                 bp = build_banded(
                     csr, sup=s, n_bands=nb, split_rows=split,
                     step_groups=step_groups, cap_slack=slack,
-                    device=device)
+                    spill_beta=beta, device=device)
                 return spmv_banded, bp
             except WindowEllOverflow as e2:
                 err = e2
