@@ -481,11 +481,19 @@ class WindowEllPlan:
             # row's hot spill content into a few superblocks; spreading
             # the content dominates gather-slot density.)
             k_within = _cumcount(extra_to_row)
+            is_extra = pos >= extras_base
+            # (Content-(window,chunk) extras ordering was re-measured in
+            # round 3 for the WIDE class with the slot balancer + singles
+            # bypass active: extras region improves (occ 0.036 -> 0.042)
+            # but the ROWS region blows up (18944 -> 24264 groups on the
+            # 262K web graph) because singles' combine gather columns are
+            # their extras indices — content-clustered indices stack
+            # combine cells.  The interleave spreads them near-uniformly.
+            # A band-primary/content-secondary hybrid loses the same way.)
             perm = np.lexsort((extra_to_row, k_within))
             inv_perm = np.empty(n_extra, np.int64)
             inv_perm[perm] = np.arange(n_extra, dtype=np.int64)
             extra_to_row = extra_to_row[perm]
-            is_extra = pos >= extras_base
             if is_extra.any():
                 from ..native import (balance_extra_lanes,
                                       balance_extra_slots)
