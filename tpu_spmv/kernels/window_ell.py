@@ -1206,9 +1206,15 @@ class BandedPlan:
     plans: tuple             # WindowEllPlan per band, in row order
     num_rows: int
     num_cols: int
+    # real rows per band: bands are padded with EMPTY rows to a common
+    # height so every band shares one compiled kernel variant (the
+    # pallas cache keys on out8/e8/n_steps; ~100 s Mosaic compile per
+    # extra variant), and the concat trims each band back
+    band_rows: tuple = ()
 
     def tree_flatten(self):
-        return ((self.plans,), (self.num_rows, self.num_cols))
+        return ((self.plans,),
+                (self.num_rows, self.num_cols, self.band_rows))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -1260,11 +1266,18 @@ def _bands_from_overflow(e: WindowEllOverflow) -> int:
     return n_bands
 
 
-def _slice_rows(csr: CSRMatrix, a: int, b: int) -> CSRMatrix:
-    """The row band ``[a, b)`` as an independent CSR (same cols)."""
+def _slice_rows(csr: CSRMatrix, a: int, b: int,
+                pad_to: int | None = None) -> CSRMatrix:
+    """The row band ``[a, b)`` as an independent CSR (same cols),
+    optionally padded with trailing EMPTY rows to ``pad_to`` rows."""
     lo, hi = int(csr.row_ptrs[a]), int(csr.row_ptrs[b])
-    ptr = (csr.row_ptrs[a:b + 1].astype(np.int64) - lo).astype(np.int32)
-    return CSRMatrix(b - a, csr.num_cols, csr.values[lo:hi],
+    h = b - a
+    n = max(pad_to or h, h)
+    ptr = np.empty(n + 1, np.int32)
+    ptr[:h + 1] = (csr.row_ptrs[a:b + 1].astype(np.int64)
+                   - lo).astype(np.int32)
+    ptr[h + 1:] = ptr[h]
+    return CSRMatrix(n, csr.num_cols, csr.values[lo:hi],
                      csr.col_indices[lo:hi], ptr)
 
 
@@ -1289,7 +1302,8 @@ def build_banded(csr: CSRMatrix, sup: int, n_bands: int | None = None,
         try:
             p = WindowEllPlan.build(csr, sup=sup, **kw)
             return BandedPlan(plans=(p,), num_rows=csr.num_rows,
-                              num_cols=csr.num_cols)
+                              num_cols=csr.num_cols,
+                              band_rows=(csr.num_rows,))
         except WindowEllOverflow as e:
             n_bands = _bands_from_overflow(e)
             if n_bands < 2:
@@ -1301,12 +1315,26 @@ def build_banded(csr: CSRMatrix, sup: int, n_bands: int | None = None,
             for i in range(n_bands + 1)]
     todo = [(cuts[i], cuts[i + 1]) for i in range(n_bands)
             if cuts[i] < cuts[i + 1]]
-    plans, done_rows = [], 0
+    # common band height: bands padded with empty rows to it share one
+    # compiled kernel variant (the pallas cache keys on out8, which is
+    # band-height-dominated; ~100 s Mosaic compile per extra variant)
+    bh = max(b - a for a, b in todo)
+    plans, band_rows, done_rows = [], [], 0
     while todo:
         a, b = todo.pop(0)
         try:
-            plans.append(WindowEllPlan.build(_slice_rows(csr, a, b),
-                                             sup=sup, **kw))
+            try:
+                p = WindowEllPlan.build(
+                    _slice_rows(csr, a, b, pad_to=bh), sup=sup, **kw)
+            except WindowEllOverflow:
+                if b - a >= bh:
+                    raise
+                # height padding tipped this band over VMEM — keep its
+                # real height (own compile variant, but it fits)
+                p = WindowEllPlan.build(_slice_rows(csr, a, b),
+                                        sup=sup, **kw)
+            plans.append(p)
+            band_rows.append(b - a)
             done_rows = b
         except WindowEllOverflow:
             if b - a <= sup:
@@ -1315,14 +1343,16 @@ def build_banded(csr: CSRMatrix, sup: int, n_bands: int | None = None,
             todo[:0] = [(a, mid), (mid, b)]
     assert done_rows == csr.num_rows
     return BandedPlan(plans=tuple(plans), num_rows=csr.num_rows,
-                      num_cols=csr.num_cols)
+                      num_cols=csr.num_cols, band_rows=tuple(band_rows))
 
 
 @jax.jit
 def spmv_banded(bp: BandedPlan, x: jax.Array) -> jax.Array:
-    """``y = A @ x`` over a banded plan: per-band kernels, concatenated."""
+    """``y = A @ x`` over a banded plan: per-band kernels, concatenated
+    (each band's output trimmed back from its padded common height)."""
     x = jnp.asarray(x, jnp.float32)
-    ys = [spmv_window_ell(p, x) for p in bp.plans]
+    rows = bp.band_rows or tuple(p.num_rows for p in bp.plans)
+    ys = [spmv_window_ell(p, x)[:r] for p, r in zip(bp.plans, rows)]
     return ys[0] if len(ys) == 1 else jnp.concatenate(ys)
 
 

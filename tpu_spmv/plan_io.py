@@ -64,6 +64,7 @@ def save_plan(plan, path: str) -> None:
         meta["n_bands"] = len(plan.plans)
         meta["num_rows"] = plan.num_rows
         meta["num_cols"] = plan.num_cols
+        meta["band_rows"] = list(plan.band_rows)
         for i, p in enumerate(plan.plans):
             _window_entry(p, f"b{i}_", arrays, meta)
     elif isinstance(plan, CompositePlan):
@@ -124,7 +125,8 @@ def load_plan(path: str, device=None):
             return BandedPlan(
                 plans=tuple(_window_from(f"b{i}_", z, meta, put)
                             for i in range(meta["n_bands"])),
-                num_rows=meta["num_rows"], num_cols=meta["num_cols"])
+                num_rows=meta["num_rows"], num_cols=meta["num_cols"],
+                band_rows=tuple(meta.get("band_rows", ())))
         if kind == "composite":
             plans = tuple(_window_from(f"l{i}_", z, meta, put)
                           for i in range(meta["n_levels"]))
