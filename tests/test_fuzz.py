@@ -132,3 +132,33 @@ def test_packer_fuzz_nonstandard_step_widths(rng):
         x = r.uniform(-3, 3, cols).astype(np.float32)
         y = np.asarray(spmv_window_ell(plan, x))
         assert spmv_matches(y, csr, x, rel_tol=1e-5), (S, rows, cols)
+
+
+def test_packer_fuzz_banded(rng):
+    """Banded plans (round-3): every (n_bands, sup, beta, slack)
+    combination — including auto band sizing and bands padded to the
+    common height — must reproduce the oracle."""
+    from tpu_spmv.kernels.window_ell import build_banded, spmv_banded
+
+    r = rng.rng
+    tested = 0
+    for trial in range(14):
+        kind = int(r.integers(0, 5))
+        rows = int(r.integers(2500, 9000))
+        cols = int(r.integers(1025, 4200))
+        csr = _matrix(r, kind, rows, cols)
+        nb = [None, 2, 3, 5][trial % 4]
+        try:
+            bp = build_banded(
+                csr, sup=1024, n_bands=nb,
+                spill_beta=[None, 2.6, 2.2][trial % 3],
+                cap_slack=int(r.integers(0, 2)))
+        except WindowEllOverflow:
+            continue
+        tested += 1
+        assert sum(bp.band_rows) == csr.num_rows
+        x = r.uniform(-3, 3, cols).astype(np.float32)
+        y = np.asarray(spmv_banded(bp, x))
+        assert spmv_matches(y, csr, x, rel_tol=1e-5), \
+            (trial, kind, rows, cols, nb)
+    assert tested >= 10
