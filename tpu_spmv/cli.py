@@ -49,15 +49,27 @@ def print_device_info():
 
 
 def benchmark_spmv(rows: int, cols: int, density: float, runs: int,
-                   emit_json: bool):
-    """The reference 3-kernel sweep (main.cu:16-80)."""
+                   emit_json: bool, matrix: str | None = None):
+    """The reference 3-kernel sweep (main.cu:16-80).  ``matrix`` loads a
+    Matrix Market ``.mtx`` file (SuiteSparse interchange) instead of the
+    generated matrix."""
     rng = RandomGenerator(42)
-    dense = rng.dense_matrix(rows, cols, density)
-    csr = csr_from_dense(dense)
+    if matrix:
+        from .io.matrix_market import load_matrix_market
+
+        csr = load_matrix_market(matrix)
+        rows, cols = csr.num_rows, csr.num_cols
+        density = csr.nnz / max(rows * cols, 1)
+        src = matrix
+    else:
+        dense = rng.dense_matrix(rows, cols, density)
+        csr = csr_from_dense(dense)
+        src = "generated"
     x = rng.vector(cols)
     bc = BenchmarkConfig(num_runs=runs)
 
-    print(f"SpMV sweep: {rows}x{cols}, density {density}, nnz {csr.nnz}")
+    print(f"SpMV sweep: {rows}x{cols} ({src}), density {density:.4g}, "
+          f"nnz {csr.nnz}")
     print("-" * 60)
     results = {}
     for kt in (KernelType.SCALAR_CSR, KernelType.VECTOR_CSR,
@@ -119,10 +131,14 @@ def main(argv=None):
     p.add_argument("--pagerank-nodes", type=int, default=100)
     p.add_argument("--json", action="store_true", help="emit JSON results")
     p.add_argument("--skip-pagerank", action="store_true")
+    p.add_argument("--matrix", type=str, default=None, metavar="FILE.mtx",
+                   help="benchmark a Matrix Market file instead of a "
+                        "generated matrix")
     args = p.parse_args(argv)
 
     print_device_info()
-    benchmark_spmv(args.rows, args.cols, args.density, args.runs, args.json)
+    benchmark_spmv(args.rows, args.cols, args.density, args.runs, args.json,
+                   matrix=args.matrix)
     if not args.skip_pagerank:
         benchmark_pagerank(args.pagerank_nodes, args.json)
     return 0
