@@ -126,3 +126,16 @@ def test_banded_plan_roundtrip(tmp_path, rng):
     x = rng.vector(2100)
     y = np.asarray(spmv_banded(loaded, x))
     assert spmv_matches(y, csr, x, rel_tol=1e-5)
+
+
+def test_banded_load_rejects_other_plan_kinds(tmp_path, rng):
+    """BandedPlan.load mirrors WindowEllPlan.load's kind check
+    (InvalidFormatError, not a silently wrong return type)."""
+    from tpu_spmv.kernels.window_ell import BandedPlan
+
+    csr = _power_law(rng, 512, 256, 6.0)
+    p = WindowEllPlan.build(csr)
+    path = str(tmp_path / "single.npz")
+    p.save(path)
+    with pytest.raises(InvalidFormatError):
+        BandedPlan.load(path)

@@ -245,3 +245,49 @@ class TestBandedPlans:
         ranks = np.asarray(res.ranks)
         assert np.isfinite(ranks).all()
         assert abs(ranks.sum() - 1.0) < 1e-3
+
+    def test_banded_zero_row_matrix(self):
+        """Explicit n_bands on a zero-row matrix must not crash the cut
+        machinery — it degenerates to one empty band."""
+        from tpu_spmv.csr import CSRMatrix
+        from tpu_spmv.kernels.window_ell import build_banded, spmv_banded
+
+        m = CSRMatrix(0, 100, np.zeros(0, np.float32),
+                      np.zeros(0, np.int32), np.zeros(1, np.int32))
+        bp = build_banded(m, sup=1024, n_bands=2)
+        assert len(bp.plans) == 1 and bp.band_rows == (0,)
+        y = np.asarray(spmv_banded(bp, np.zeros(100, np.float32)))
+        assert y.shape == (0,)
+
+    def test_banded_defaults_match_single_builder(self, rng):
+        """build_banded and WindowEllPlan.build share defaults
+        (cap_slack/spill_beta), so a one-band build equals the single
+        plan layout."""
+        from tpu_spmv.kernels.window_ell import WindowEllPlan, build_banded
+
+        m = web_graph_csr(rng, 3000, 1500, avg_nnz=8)
+        bp = build_banded(m, sup=1024)
+        p = WindowEllPlan.build(m, sup=1024)
+        assert len(bp.plans) == 1
+        assert bp.plans[0].n_groups == p.n_groups
+        _, a0 = bp.plans[0].tree_flatten()
+        _, a1 = p.tree_flatten()
+        assert a0 == a1
+
+    def test_banded_rejects_inconsistent_band_rows(self, rng):
+        """A BandedPlan whose band_rows cannot reassemble num_rows (e.g.
+        a hand-built stack of padded bands with band_rows unset) raises
+        instead of silently interleaving pad rows into y."""
+        from tpu_spmv.errors import InvalidFormatError
+        from tpu_spmv.kernels.window_ell import (BandedPlan, build_banded,
+                                                 spmv_banded)
+
+        m = web_graph_csr(rng, 3000, 1500, avg_nnz=8)
+        bp = build_banded(m, sup=1024, n_bands=2)
+        bad = BandedPlan(plans=bp.plans, num_rows=m.num_rows,
+                         num_cols=m.num_cols)     # band_rows=() fallback
+        x = rng.vector(1500)
+        if sum(p.num_rows for p in bp.plans) == m.num_rows:
+            pytest.skip("bands happened to need no height padding")
+        with pytest.raises(InvalidFormatError):
+            spmv_banded(bad, x)

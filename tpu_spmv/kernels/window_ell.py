@@ -107,6 +107,11 @@ MAX_GROUPS = 180_000
 # HBM stream ~8.3 ps/slot; masked-sum scatter per slot by target count.
 _STREAM_PS = 8.3
 _SCATTER_PS = {1024: 2.3, 4096: 14.8, 16384: 69.0}   # per sup level
+# the builder defaults build_auto passes and _choose_sup's cost model
+# mirrors (the model is only calibrated while it matches the builder) —
+# retune them HERE only
+AUTO_SPILL_BETA = 2.6
+AUTO_CAP_SLACK = 1
 
 
 class WindowEllOverflow(InvalidFormatError):
@@ -135,6 +140,22 @@ def _cumcount(keys: np.ndarray) -> np.ndarray:
     from ..native import cumcount
 
     return cumcount(keys)
+
+
+def _beta_caps(cb: np.ndarray, dcount: np.ndarray, n_buckets: int,
+               spill_beta: float, cap_slack: int) -> np.ndarray:
+    """Order-statistic spill caps: per-bucket layer cap = depth of the
+    k-th deepest cell, k the smallest cell count that justifies keeping
+    a layer at ~``spill_beta`` extras slots per spilled nonzero, plus
+    ``cap_slack``.  ``cb``/``dcount`` are the bucket id and depth of
+    each occupied cell.  Shared by the builder (``_build``) and the
+    cost model (``_choose_sup``) so the two cannot drift."""
+    k = int(CHUNKS * LANE / spill_beta) + 1
+    order = np.lexsort((-dcount, cb))
+    kth = _cumcount(cb[order]) == (k - 1)
+    cap = np.zeros(n_buckets, np.int64)
+    cap[cb[order][kth]] = dcount[order][kth]
+    return cap + cap_slack
 
 
 def _unique_ic(keys: np.ndarray):
@@ -308,7 +329,8 @@ class WindowEllPlan:
             # are shallow (cap ~1) and unmeasured under beta — keep the
             # legacy margin caps there.  Pass spill_beta=0 to force the
             # legacy caps at any height.
-            spill_beta = 2.6 if sup_rows == SUP_LEVELS[0] else 0.0
+            spill_beta = AUTO_SPILL_BETA \
+                if sup_rows == SUP_LEVELS[0] else 0.0
         n_tb = sup_rows // LANE
         rows, nnz = csr.num_rows, csr.nnz
         cols_pad = _bucket(max(csr.num_cols, 1))
@@ -407,13 +429,8 @@ class WindowEllPlan:
                     # its own 1024-slot layer.
                     cell = inv * (CHUNKS * LANE) + c * LANE + lane
                     ucell, dcount = np.unique(cell, return_counts=True)
-                    cb = ucell // (CHUNKS * LANE)
-                    k = int(CHUNKS * LANE / spill_beta) + 1
-                    order = np.lexsort((-dcount, cb))
-                    kth = _cumcount(cb[order]) == (k - 1)
-                    cap = np.zeros(len(ubw), np.int64)
-                    cap[cb[order][kth]] = dcount[order][kth]
-                    cap += cap_slack
+                    cap = _beta_caps(ucell // (CHUNKS * LANE), dcount,
+                                     len(ubw), spill_beta, cap_slack)
                 else:
                     # layer cap per bucket: ideal layers plus a relative
                     # margin
@@ -833,12 +850,8 @@ def _choose_sup(csr: CSRMatrix, with_groups: bool = False):
         cell = binv * (CHUNKS * LANE) + c * LANE + lane
         ucell, _, dcount = _unique_ic(cell)
         cb = ucell // (CHUNKS * LANE)
-        k = int(CHUNKS * LANE / 2.6) + 1
-        order = np.lexsort((-dcount, cb))
-        kth = _cumcount(cb[order]) == (k - 1)
-        cap = np.zeros(len(ub), np.int64)
-        cap[cb[order][kth]] = dcount[order][kth]
-        cap += 1                              # cap_slack
+        cap = _beta_caps(cb, dcount, len(ub),
+                         AUTO_SPILL_BETA, AUTO_CAP_SLACK)
         lmax = np.zeros(len(ub), np.int64)
         np.maximum.at(lmax, cb, dcount)
         kept = int(np.minimum(lmax, cap).sum())
@@ -1248,7 +1261,11 @@ class BandedPlan:
     def load(path: str, device=None) -> "BandedPlan":
         from ..plan_io import load_plan
 
-        return load_plan(path, device=device)
+        plan = load_plan(path, device=device)
+        if not isinstance(plan, BandedPlan):
+            raise InvalidFormatError(
+                f"{path}: holds a {type(plan).__name__}, not a BandedPlan")
+        return plan
 
 
 def _bands_from_overflow(e: WindowEllOverflow) -> int:
@@ -1283,7 +1300,7 @@ def _slice_rows(csr: CSRMatrix, a: int, b: int,
 
 def build_banded(csr: CSRMatrix, sup: int, n_bands: int | None = None,
                  split_rows: int | None = None,
-                 step_groups: int | None = None, cap_slack: int = 0,
+                 step_groups: int | None = None, cap_slack: int = 1,
                  spill_beta: float | None = None,
                  device=None) -> BandedPlan:
     """Build a :class:`BandedPlan` at the given superblock height.
@@ -1295,6 +1312,11 @@ def build_banded(csr: CSRMatrix, sup: int, n_bands: int | None = None,
     multiples of ``sup`` so superblock fill stays even.  Raises
     :class:`WindowEllOverflow` when a single-superblock band still
     cannot fit (structure too adversarial — callers fall back).
+
+    Defaults (``cap_slack=1``, ``spill_beta=None`` → the measured
+    narrow/wide resolution) match :meth:`WindowEllPlan.build`, so the
+    two builders produce the same per-band layouts for a matrix that
+    fits in one band.
     """
     kw = dict(split_rows=split_rows, step_groups=step_groups,
               cap_slack=cap_slack, spill_beta=spill_beta, device=device)
@@ -1315,6 +1337,14 @@ def build_banded(csr: CSRMatrix, sup: int, n_bands: int | None = None,
             for i in range(n_bands + 1)]
     todo = [(cuts[i], cuts[i + 1]) for i in range(n_bands)
             if cuts[i] < cuts[i + 1]]
+    if not todo:
+        # zero-row matrix: one (empty) band — WindowEllPlan.build
+        # handles rows=0, and the cut/halving machinery below assumes
+        # at least one non-empty band
+        p = WindowEllPlan.build(csr, sup=sup, **kw)
+        return BandedPlan(plans=(p,), num_rows=csr.num_rows,
+                          num_cols=csr.num_cols,
+                          band_rows=(csr.num_rows,))
     # common band height: bands padded with empty rows to it share one
     # compiled kernel variant (the pallas cache keys on out8, which is
     # band-height-dominated; ~100 s Mosaic compile per extra variant)
@@ -1352,6 +1382,13 @@ def spmv_banded(bp: BandedPlan, x: jax.Array) -> jax.Array:
     (each band's output trimmed back from its padded common height)."""
     x = jnp.asarray(x, jnp.float32)
     rows = bp.band_rows or tuple(p.num_rows for p in bp.plans)
+    # band_rows=() on a plan whose bands WERE height-padded would
+    # silently interleave the pad rows into y — reject any stack whose
+    # real heights cannot reassemble num_rows (trace-time check)
+    if len(rows) != len(bp.plans) or sum(rows) != bp.num_rows:
+        raise InvalidFormatError(
+            f"BandedPlan band_rows {tuple(rows)} do not partition "
+            f"num_rows={bp.num_rows} across {len(bp.plans)} bands")
     ys = [spmv_window_ell(p, x)[:r] for p, r in zip(bp.plans, rows)]
     return ys[0] if len(ys) == 1 else jnp.concatenate(ys)
 
@@ -1382,8 +1419,8 @@ def build_auto(csr: CSRMatrix, split_rows: int | None = None,
         # banding lifting the SMEM cap, the beta caps' smaller slot
         # counts win at wide superblocks too (262K web graph, legacy
         # slack-2 margin caps vs beta slack-1: 46416 -> 31928 groups)
-        slack = 1
-        beta = 2.6
+        slack = AUTO_CAP_SLACK
+        beta = AUTO_SPILL_BETA
         split = split_rows if narrow else None
         # pre-size bands when the sampled model already says the single
         # plan cannot fit SMEM — skips a doomed full-matrix build (the
@@ -1407,6 +1444,12 @@ def build_auto(csr: CSRMatrix, split_rows: int | None = None,
             return spmv_window_ell, p
         except WindowEllOverflow as e:
             err = e
+            if nb0 >= 2:
+                # the pre-sized BANDED attempt failed, which means the
+                # recursive halving already bottomed out at a
+                # single-superblock band — any n_bands re-try converges
+                # to the same band and fails identically; escalate
+                continue
             nb = _bands_from_overflow(e)
             if csr.num_rows <= s or nb < 2:
                 continue  # banding cannot help at this height

@@ -241,8 +241,9 @@ def _mtx_read_py(path: str):
 
 # depth-counter budget for the lane balancer: sups * windows*8 * 128
 # int32 cells; 1<<25 caps the transient table at ~128 MB (matching the
-# _DIRECT_KEYS_MAX host-memory posture).  Above it the pass is skipped
-# (wide matrices keep the plain interleave — their extras are a small
+# _DIRECT_KEYS_MAX host-memory posture).  Above it the pass switches to
+# a fixed-size HASHED depth table (2^18 rows; collisions bias scores a
+# little but the greedy still runs — wide matrices' extras are a small
 # slot share anyway).
 _BALANCE_MAX_CELLS = 1 << 25
 
@@ -251,7 +252,9 @@ def balance_extra_lanes(ext_ptr: np.ndarray, ext_wc: np.ndarray,
                         n_wc: int, sup_rows: int = 1024):
     """Exhaustive-greedy lane assignment for extras blocks (see
     native.cc); returns the per-extra lane array, or ``None`` when the
-    native library is absent or the depth table would not fit.
+    native library is absent (or balancing is disabled via
+    ``TPU_SPMV_NO_BALANCE``).  Oversized depth tables fall back to a
+    fixed-size hashed table rather than skipping the pass.
     ``sup_rows`` keys the depth tables by the plan's true superblock
     height so extras in the same (superblock, window) bucket share
     counters."""
@@ -279,8 +282,10 @@ def balance_extra_slots(ext_ptr: np.ndarray, ext_wc: np.ndarray,
     """Sliding-window (superblock, lane) slot assignment for extras
     (see ``balance_extra_slots_i64`` in native.cc); returns the
     per-extra NEW INDEX array (a permutation of ``arange(n_extra)``), or
-    ``None`` when the native library is absent or the depth table would
-    not fit.  Generalizes :func:`balance_extra_lanes` — cross-superblock
+    ``None`` when the native library is absent (or balancing is disabled
+    via ``TPU_SPMV_NO_BALANCE``); oversized depth tables fall back to a
+    fixed-size hashed table.  Generalizes
+    :func:`balance_extra_lanes` — cross-superblock
     choice attacks the bucket-depth variance the within-block lane
     greedy cannot reach.  ``ext_crow`` (optional): per-extra row id for
     single-extra rows (-1 otherwise) — couples the slot choice to the
