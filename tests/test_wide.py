@@ -291,3 +291,19 @@ class TestBandedPlans:
             pytest.skip("bands happened to need no height padding")
         with pytest.raises(InvalidFormatError):
             spmv_banded(bad, x)
+
+    def test_cost_model_calibration(self, rng):
+        """_choose_sup's group estimate must stay calibrated against the
+        builder it mirrors (the round-2 nnz-strided model drifted to
+        est/actual ~2.5 and mis-selected; the shared _beta_caps helper
+        plus this guard pin the mirroring).  Measured est/actual at this
+        65K scale: ~1.5 (the model's extras-occupancy constants are
+        priced for web-graph scale and over-estimate small extras
+        regions); 0.96-0.97 at 262K/1M (docs/PERF.md)."""
+        from tpu_spmv.kernels import window_ell as we
+
+        m = web_graph_csr(rng, 65536, 65536, avg_nnz=15)
+        s, est = we._choose_sup(m, with_groups=True)
+        fn, plan = we.build_auto(m)
+        assert plan.n_groups > 0 and est > 0
+        assert 0.6 <= est / plan.n_groups <= 1.8, (s, est, plan.n_groups)
