@@ -42,15 +42,19 @@ def main():
     stream = measured_stream_bandwidth(dev)
     print(f"STREAM {stream:.0f} GB/s", flush=True)
 
+    # (label, spill_beta, cap_slack, balance window, step width,
+    #  balancer scoring mode — 0 reproduces the round-3 d^2 greedy,
+    #  2 the atom-aware layer-cost greedy; see native.cc)
     configs = [
-        ("legacy  beta=0   win=0 S=128", 0.0, 1, 0, 128),
-        ("new     beta=2.6 win=1 S=128", None, 1, 1, 128),
-        ("slack0  beta=2.2 win=1 S=128", 2.2, 0, 1, 128),
-        ("new     beta=2.6 win=1 S=384", None, 1, 1, 384),
-        ("legacy  beta=0   win=0 S=384", 0.0, 1, 0, 384),
+        ("legacy  beta=0   win=0    S=128", 0.0, 1, 0, 128, 0),
+        ("r3      beta=2.6 win=1    S=128", 2.6, 1, 1, 128, 0),
+        ("new     beta=2.2 sl0 w2L2 S=128", 2.2, 0, 2, 128, 2),
+        ("new     beta=2.2 sl0 w2L2 S=384", 2.2, 0, 2, 384, 2),
+        ("r3      beta=2.6 win=1    S=384", 2.6, 1, 1, 384, 0),
     ]
-    for label, beta, slack, win, S in configs:
+    for label, beta, slack, win, S, layer in configs:
         os.environ["TPU_SPMV_BALANCE_WINDOW"] = str(win)
+        os.environ["TPU_SPMV_BALANCE_LAYER"] = str(layer)
         t0 = time.time()
         ph = WindowEllPlan.build(csr, split_rows=128, step_groups=S,
                                  spill_beta=beta, cap_slack=slack,

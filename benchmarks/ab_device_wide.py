@@ -72,10 +72,16 @@ def main():
                 csr, sup=4096, spill_beta=2.6, cap_slack=0, device=cpu0)
         raise ValueError(label)
 
-    os.environ["TPU_SPMV_BALANCE_WINDOW"] = "1"
-    for label in ("r3-baseline sup=16384", "dispatch build_auto",
-                  "banded4096 beta=2.6 slack=0",
-                  "banded4096 beta=2.6 slack=1"):
+    # (label, balance window, balancer scoring mode): the r3 candidates
+    # reproduce the round-3 d^2 greedy (win=1, mode 0); "dispatch
+    # build_auto" runs the current defaults (win=2, atom-aware mode 2)
+    for label, win, layer in (
+            ("r3-baseline sup=16384", 1, 0),
+            ("dispatch build_auto", 2, 2),
+            ("banded4096 beta=2.6 slack=0", 1, 0),
+            ("banded4096 beta=2.6 slack=1", 1, 0)):
+        os.environ["TPU_SPMV_BALANCE_WINDOW"] = str(win)
+        os.environ["TPU_SPMV_BALANCE_LAYER"] = str(layer)
         t0 = time.time()
         try:
             fn, ph = build_cfg(label)

@@ -84,10 +84,10 @@ def test_packer_fuzz_tpu_step_width(rng):
 
 def test_packer_fuzz_spill_beta_and_balancer(rng, monkeypatch):
     """Order-statistic spill caps (spill_beta) and the extras slot
-    balancer windows (TPU_SPMV_BALANCE_WINDOW) are data-movement-only
-    planner levers — every (beta, window) combination must reproduce
-    the oracle, including cap=0 buckets that spill their whole
-    content."""
+    balancer windows/scoring (TPU_SPMV_BALANCE_WINDOW / _LAYER) are
+    data-movement-only planner levers — every (beta, window, layer
+    mode) combination must reproduce the oracle, including cap=0
+    buckets that spill their whole content."""
     r = rng.rng
     tested = 0
     for trial in range(18):
@@ -98,6 +98,7 @@ def test_packer_fuzz_spill_beta_and_balancer(rng, monkeypatch):
         beta = [1.5, 3.0, 6.0][trial % 3]
         win = [0, 1, 2, 4][int(r.integers(0, 4))]
         monkeypatch.setenv("TPU_SPMV_BALANCE_WINDOW", str(win))
+        monkeypatch.setenv("TPU_SPMV_BALANCE_LAYER", str(trial % 3))
         try:
             plan = WindowEllPlan.build(
                 csr, split_rows=[None, 128][trial % 2],

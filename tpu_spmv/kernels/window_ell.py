@@ -109,9 +109,24 @@ _STREAM_PS = 8.3
 _SCATTER_PS = {1024: 2.3, 4096: 14.8, 16384: 69.0}   # per sup level
 # the builder defaults build_auto passes and _choose_sup's cost model
 # mirrors (the model is only calibrated while it matches the builder) —
-# retune them HERE only
+# retune them HERE only.  Narrow superblocks re-tuned with the round-3
+# atom-aware slot balancer (TPU_SPMV_BALANCE_LAYER=2, window 2):
+# beta=2.2/slack=0 measures 17152 groups on the 10M-nnz headline vs
+# 17664 at 2.6/1 (benchmarks/extras_headroom.py sweep); the wide
+# defaults stay at 2.6/1 pending the on-device wide A/B.
 AUTO_SPILL_BETA = 2.6
 AUTO_CAP_SLACK = 1
+AUTO_SPILL_BETA_NARROW = 2.2
+AUTO_CAP_SLACK_NARROW = 0
+
+
+def _auto_caps(sup: int) -> tuple:
+    """(spill_beta, cap_slack) defaults per superblock height — shared
+    by ``build``/``build_auto`` and ``_choose_sup`` so the cost model
+    stays calibrated against the builder it mirrors."""
+    if sup == SUP_LEVELS[0]:
+        return AUTO_SPILL_BETA_NARROW, AUTO_CAP_SLACK_NARROW
+    return AUTO_SPILL_BETA, AUTO_CAP_SLACK
 
 
 class WindowEllOverflow(InvalidFormatError):
@@ -277,7 +292,7 @@ class WindowEllPlan:
 
     @staticmethod
     def build(csr: CSRMatrix, split_rows: int | None = None,
-              step_groups: int | None = None, cap_slack: int = 1,
+              step_groups: int | None = None, cap_slack: int | None = None,
               cap_margin: float = 0.3, spill_rounds: int = 1,
               max_inflation: float = 64.0, sup: int | None = None,
               spill_beta: float | None = None,
@@ -290,15 +305,19 @@ class WindowEllPlan:
         :class:`WindowEllOverflow` when no layout fits, signalling the
         caller to use the streaming path instead.
 
-        ``spill_beta=None`` resolves to the measured default: 2.6 for
-        narrow (sup=1024) plans — per-bucket order-statistic layer caps
-        that price a kept layer against ~beta extras slots per spilled
-        nonzero — and the legacy ``cap_margin`` caps for wide
-        superblocks.  ``spill_beta=0`` forces the legacy caps.
+        ``spill_beta=None`` / ``cap_slack=None`` resolve to the measured
+        per-height defaults (:func:`_auto_caps`: beta=2.2/slack=0 for
+        narrow sup=1024 plans with the atom-aware slot balancer; the
+        legacy ``cap_margin`` caps with slack 1 for wide superblocks) —
+        per-bucket order-statistic layer caps price a kept layer against
+        ~beta extras slots per spilled nonzero.  ``spill_beta=0`` forces
+        the legacy caps.
         """
         if sup is not None:
+            slack = cap_slack if cap_slack is not None \
+                else _auto_caps(sup)[1]
             return WindowEllPlan._build(
-                csr, split_rows, step_groups, cap_slack, cap_margin,
+                csr, split_rows, step_groups, slack, cap_margin,
                 spill_rounds, max_inflation, sup, spill_beta, device)
         start = _choose_sup(csr)
         err = None
@@ -306,7 +325,9 @@ class WindowEllPlan:
             # wide superblocks are shallow (cap ~1); without extra slack
             # the spill mass becomes per-row extras that blow the VMEM
             # extras table, so trade a little occupancy for bounded spills
-            slack = max(cap_slack, 2) if s >= 4096 else cap_slack
+            base = cap_slack if cap_slack is not None \
+                else _auto_caps(s)[1]
+            slack = max(base, 2) if s >= 4096 else base
             try:
                 return WindowEllPlan._build(
                     csr, split_rows, step_groups, slack, cap_margin,
@@ -322,14 +343,16 @@ class WindowEllPlan:
         sup_rows = sup           # scalar superblock height; ``sup`` below
         del sup                  # is reused for per-nnz superblock ids
         if spill_beta is None:
-            # Measured default (benchmarks/sweep_caps.py, 10M-nnz
-            # power-law headline): order-statistic caps at beta=2.6 cut
-            # total groups ~5% vs the flat-margin caps at sup=1024
-            # (18688 -> 17664 with the slot balancer).  Wide superblocks
-            # are shallow (cap ~1) and unmeasured under beta — keep the
-            # legacy margin caps there.  Pass spill_beta=0 to force the
-            # legacy caps at any height.
-            spill_beta = AUTO_SPILL_BETA \
+            # Measured default (benchmarks/sweep_caps.py +
+            # extras_headroom.py, 10M-nnz power-law headline): order-
+            # statistic caps cut total groups vs the flat-margin caps at
+            # sup=1024 (18688 -> 17664 at beta=2.6/slack=1 with the slot
+            # balancer; 17152 at beta=2.2/slack=0 with the atom-aware
+            # scorer).  Wide superblocks are shallow (cap ~1) and
+            # unmeasured under beta via this entry — keep the legacy
+            # margin caps there (build_auto passes beta explicitly).
+            # Pass spill_beta=0 to force the legacy caps at any height.
+            spill_beta = AUTO_SPILL_BETA_NARROW \
                 if sup_rows == SUP_LEVELS[0] else 0.0
         n_tb = sup_rows // LANE
         rows, nnz = csr.num_rows, csr.nnz
@@ -531,7 +554,12 @@ class WindowEllPlan:
                 wc_arr = np.empty(len(ie), np.int64)
                 wc_arr[ptr_i[ie] + _cumcount(ie)] = \
                     w[is_extra] * CHUNKS + c[is_extra]
-                win = int(os.environ.get("TPU_SPMV_BALANCE_WINDOW", "1"))
+                # default window 2 (round-3 atom-aware measurement:
+                # win=2 nets 17536->17280 on the headline; win>=3 loses
+                # it back to combine-window spread — single-extra rows'
+                # gather columns move with the index, and wider shuffles
+                # scatter them over more (row_sup, window) buckets)
+                win = int(os.environ.get("TPU_SPMV_BALANCE_WINDOW", "2"))
                 if win >= 1:
                     # single-extra rows' combine nonzeros gather at
                     # cols_pad + (the index this pass assigns) — couple
@@ -850,8 +878,7 @@ def _choose_sup(csr: CSRMatrix, with_groups: bool = False):
         cell = binv * (CHUNKS * LANE) + c * LANE + lane
         ucell, _, dcount = _unique_ic(cell)
         cb = ucell // (CHUNKS * LANE)
-        cap = _beta_caps(cb, dcount, len(ub),
-                         AUTO_SPILL_BETA, AUTO_CAP_SLACK)
+        cap = _beta_caps(cb, dcount, len(ub), *_auto_caps(s))
         lmax = np.zeros(len(ub), np.int64)
         np.maximum.at(lmax, cb, dcount)
         kept = int(np.minimum(lmax, cap).sum())
@@ -1300,7 +1327,8 @@ def _slice_rows(csr: CSRMatrix, a: int, b: int,
 
 def build_banded(csr: CSRMatrix, sup: int, n_bands: int | None = None,
                  split_rows: int | None = None,
-                 step_groups: int | None = None, cap_slack: int = 1,
+                 step_groups: int | None = None,
+                 cap_slack: int | None = None,
                  spill_beta: float | None = None,
                  device=None) -> BandedPlan:
     """Build a :class:`BandedPlan` at the given superblock height.
@@ -1313,10 +1341,10 @@ def build_banded(csr: CSRMatrix, sup: int, n_bands: int | None = None,
     :class:`WindowEllOverflow` when a single-superblock band still
     cannot fit (structure too adversarial — callers fall back).
 
-    Defaults (``cap_slack=1``, ``spill_beta=None`` → the measured
-    narrow/wide resolution) match :meth:`WindowEllPlan.build`, so the
-    two builders produce the same per-band layouts for a matrix that
-    fits in one band.
+    Defaults (``cap_slack=None`` / ``spill_beta=None`` → the measured
+    per-height resolution, :func:`_auto_caps`) match
+    :meth:`WindowEllPlan.build`, so the two builders produce the same
+    per-band layouts for a matrix that fits in one band.
     """
     kw = dict(split_rows=split_rows, step_groups=step_groups,
               cap_slack=cap_slack, spill_beta=spill_beta, device=device)
@@ -1414,13 +1442,12 @@ def build_auto(csr: CSRMatrix, split_rows: int | None = None,
     err = None
     for s in SUP_LEVELS[SUP_LEVELS.index(start):]:
         narrow = s == SUP_LEVELS[0]
-        # order-statistic spill caps at every height (narrow defaults to
-        # beta=2.6 inside _build; wide heights need it explicit): with
-        # banding lifting the SMEM cap, the beta caps' smaller slot
-        # counts win at wide superblocks too (262K web graph, legacy
-        # slack-2 margin caps vs beta slack-1: 46416 -> 31928 groups)
-        slack = AUTO_CAP_SLACK
-        beta = AUTO_SPILL_BETA
+        # order-statistic spill caps at every height (narrow defaults
+        # inside _build; wide heights need beta explicit): with banding
+        # lifting the SMEM cap, the beta caps' smaller slot counts win
+        # at wide superblocks too (262K web graph, legacy slack-2 margin
+        # caps vs beta slack-1: 46416 -> 31928 groups)
+        beta, slack = _auto_caps(s)
         split = split_rows if narrow else None
         # pre-size bands when the sampled model already says the single
         # plan cannot fit SMEM — skips a doomed full-matrix build (the

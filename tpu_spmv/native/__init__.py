@@ -70,12 +70,12 @@ if os.path.exists(_LIB_PATH) and not os.environ.get("TPU_SPMV_NO_NATIVE"):
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64)]
-        _lib.balance_extra_slots_i64.argtypes = [
+        _lib.balance_extra_slots2_i64.argtypes = [
             ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int64)]
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)]
         _lib.mtx_open.restype = ctypes.c_void_p
         _lib.mtx_open.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
@@ -278,9 +278,10 @@ def balance_extra_lanes(ext_ptr: np.ndarray, ext_wc: np.ndarray,
 
 def balance_extra_slots(ext_ptr: np.ndarray, ext_wc: np.ndarray,
                         n_wc: int, sup_rows: int = 1024,
-                        window_sups: int = 2, ext_crow=None):
+                        window_sups: int = 2, ext_crow=None,
+                        layer_aware: bool | None = None):
     """Sliding-window (superblock, lane) slot assignment for extras
-    (see ``balance_extra_slots_i64`` in native.cc); returns the
+    (see ``balance_extra_slots2_i64`` in native.cc); returns the
     per-extra NEW INDEX array (a permutation of ``arange(n_extra)``), or
     ``None`` when the native library is absent (or balancing is disabled
     via ``TPU_SPMV_NO_BALANCE``); oversized depth tables fall back to a
@@ -289,23 +290,30 @@ def balance_extra_slots(ext_ptr: np.ndarray, ext_wc: np.ndarray,
     choice attacks the bucket-depth variance the within-block lane
     greedy cannot reach.  ``ext_crow`` (optional): per-extra row id for
     single-extra rows (-1 otherwise) — couples the slot choice to the
-    combine-gather cell it determines (see native.cc)."""
+    combine-gather cell it determines (see native.cc).
+    ``layer_aware`` (env ``TPU_SPMV_BALANCE_LAYER``): 0 = legacy d^2
+    proxy; 1 = raise-count primary cost; 2 = atom-aware TRUE layer cost
+    (same-cell multiplicities aggregated; candidate slots charged the
+    actual increase in sum-of-bucket-maxes — see native.cc and
+    docs/PERF.md for the measured comparison)."""
     n_extra = len(ext_ptr) - 1
     if _lib is None or n_extra <= 0 \
             or os.environ.get("TPU_SPMV_NO_BALANCE"):
         return None
+    if layer_aware is None:
+        layer_aware = int(os.environ.get("TPU_SPMV_BALANCE_LAYER", "2"))
     n_sups = -(-n_extra // sup_rows)
     hash_bits = 0 if n_sups * n_wc * 128 <= _BALANCE_MAX_CELLS else 18
     out = np.empty(n_extra, np.int64)
     crow_arr = np.ascontiguousarray(ext_crow, np.int64) \
         if ext_crow is not None else None  # keep alive across the call
     crow_p = _p(crow_arr, ctypes.c_int64) if crow_arr is not None else None
-    _lib.balance_extra_slots_i64(
+    _lib.balance_extra_slots2_i64(
         n_extra,
         _p(np.ascontiguousarray(ext_ptr, np.int64), ctypes.c_int64),
         _p(np.ascontiguousarray(ext_wc, np.int64), ctypes.c_int64),
         n_wc, crow_p, sup_rows, window_sups, hash_bits,
-        _p(out, ctypes.c_int64))
+        int(layer_aware), _p(out, ctypes.c_int64))
     return out
 
 

@@ -484,12 +484,23 @@ void balance_extra_lanes_i64(int64_t n_extra, const int64_t* ext_ptr,
 // ~8% extras density but loses MORE in combine-bucket layers
 // (measured on the 10M headline: extras 4096->... but rows +512
 // groups).  Pass ext_crow = NULL to disable.
+//
+// layer_aware != 0 changes the PRIMARY cost (round-3 late): the plan's
+// true objective is the LAYER count per (superblock, window) bucket —
+// sum over buckets of max cell depth — not the sum of squared depths.
+// The pass tracks each bucket's current max depth and counts, per
+// candidate slot, how many of the extra's content cells would be pushed
+// PAST their bucket's max (each such push ultimately costs one group);
+// sum-d^2 (and the crow cell) remain as the tiebreak.  Exact mode: a
+// cell's depth never exceeds its bucket max, so the check is d == M;
+// hashed mode smears both tables, so >= guards the comparison.
 // Deterministic.
-void balance_extra_slots_i64(int64_t n_extra, const int64_t* ext_ptr,
-                             const int64_t* ext_wc, int64_t n_wc,
-                             const int64_t* ext_crow,
-                             int64_t sup_rows, int64_t window_sups,
-                             int64_t hash_bits, int64_t* out_idx) {
+void balance_extra_slots2_i64(int64_t n_extra, const int64_t* ext_ptr,
+                              const int64_t* ext_wc, int64_t n_wc,
+                              const int64_t* ext_crow,
+                              int64_t sup_rows, int64_t window_sups,
+                              int64_t hash_bits, int64_t layer_aware,
+                              int64_t* out_idx) {
   if (n_extra <= 0) return;
   const int64_t batch_sz = window_sups * sup_rows;
   const int64_t n_sups = (n_extra + sup_rows - 1) / sup_rows;
@@ -504,6 +515,35 @@ void balance_extra_slots_i64(int64_t n_extra, const int64_t* ext_ptr,
   const size_t c_rows = size_t{1} << 16;
   const size_t c_mask = c_rows - 1;
   std::vector<int32_t> cdepth(ext_crow ? c_rows * 128 : 0, 0);
+  // combine BUCKET maxes (mode 2): the combine gather columns live in
+  // the extras-totals windows, disjoint from row-content windows, so
+  // their (row superblock, window) buckets are priced entirely by this
+  // pass — a combine layer costs the same bytes as an extras layer.
+  // Without this, mode 2's cross-superblock concentration reshuffles
+  // single-extra rows' indices and the rows region grows MORE than the
+  // extras region shrinks (measured +1280 vs -512 groups at win=4).
+  std::vector<int32_t> cmax(ext_crow ? c_rows : 0, 0);
+  auto cb_of = [&](int64_t row_sup, int64_t sup, int sub) -> size_t {
+    const int64_t woff = sup * ((sup_rows / 128) / 8) + sub / 8;
+    uint64_t kk = (static_cast<uint64_t>(row_sup) * 0x100000001ull
+                   + static_cast<uint64_t>(woff))
+        * 0x9E3779B97F4A7C15ull;
+    return static_cast<size_t>((kk >> 24) & c_mask);
+  };
+  // per-(superblock, window) bucket max depth for layer_aware scoring
+  const int64_t n_w = n_wc / 8;
+  const size_t m_rows = size_t{1} << 16;
+  const size_t m_mask = m_rows - 1;
+  std::vector<int32_t> bmax(
+      !layer_aware ? 0
+      : hashed ? m_rows
+               : static_cast<size_t>(n_sups) * n_w, 0);
+  auto brow_of = [&](int64_t sup, int64_t w) -> size_t {
+    if (!hashed) return static_cast<size_t>(sup * n_w + w);
+    uint64_t kk = static_cast<uint64_t>(sup * n_w + w)
+        * 0x9E3779B97F4A7C15ull;
+    return static_cast<size_t>((kk >> 24) & m_mask);
+  };
   const int64_t n_tb = sup_rows / 128;
   auto crow_of = [&](int64_t row_sup, int64_t sup, int sub) -> size_t {
     const int64_t woff = sup * (n_tb / 8) + sub / 8;
@@ -512,6 +552,34 @@ void balance_extra_slots_i64(int64_t n_extra, const int64_t* ext_ptr,
         * 0x9E3779B97F4A7C15ull;
     return static_cast<size_t>((kk >> 24) & c_mask);
   };
+  // mode 2 (atom-aware true cost): sort each extra's content by wc and
+  // run-length compress it, so the score can aggregate same-cell
+  // multiplicities.  The d^2 proxy reads a STALE depth for every
+  // duplicate — a spill run concentrated in one chunk (a 30-deep atom)
+  // scores 0 on an empty cell, and the proxy then spreads deep atoms
+  // across superblocks where sharing a bucket's max would make them
+  // nearly free.  Mode 2 charges each candidate slot the true increase
+  // in sum-of-bucket-maxes (same-w cells are adjacent after the sort).
+  std::vector<int64_t> cptr, cwc;
+  std::vector<int32_t> ck;
+  if (layer_aware >= 2) {
+    cptr.assign(n_extra + 1, 0);
+    cwc.reserve(ext_ptr[n_extra]);
+    ck.reserve(ext_ptr[n_extra]);
+    std::vector<int64_t> tmp;
+    for (int64_t e = 0; e < n_extra; ++e) {
+      tmp.assign(ext_wc + ext_ptr[e], ext_wc + ext_ptr[e + 1]);
+      std::sort(tmp.begin(), tmp.end());
+      for (size_t j = 0; j < tmp.size();) {
+        size_t j2 = j;
+        while (j2 < tmp.size() && tmp[j2] == tmp[j]) ++j2;
+        cwc.push_back(tmp[j]);
+        ck.push_back(static_cast<int32_t>(j2 - j));
+        j = j2;
+      }
+      cptr[e + 1] = static_cast<int64_t>(cwc.size());
+    }
+  }
   std::vector<int> order;
   std::vector<int> cap(static_cast<size_t>(window_sups) * 128);
   std::vector<int> fill(static_cast<size_t>(window_sups) * 128);
@@ -544,7 +612,7 @@ void balance_extra_slots_i64(int64_t n_extra, const int64_t* ext_ptr,
       const int64_t crow_sup = crow >= 0 ? crow / sup_rows : 0;
       const int crow_lane = crow >= 0 ? static_cast<int>(crow % 128) : 0;
       int best_s = -1, best_l = 0;
-      int64_t best_score = INT64_MAX;
+      int64_t best_score = INT64_MAX, best_raises = INT64_MAX;
       for (int s = 0; s < W; ++s) {
         const int64_t sup = sup0 + s;
         int32_t* D = depth.data()
@@ -557,25 +625,61 @@ void balance_extra_slots_i64(int64_t n_extra, const int64_t* ext_ptr,
         };
         for (int l = 0; l < 128; ++l) {
           if (cap[s * 128 + l] == 0) continue;
-          int64_t sc = 0;
+          int64_t sc = 0, raises = 0;
           if (crow >= 0) {
             const int32_t d = cdepth[
                 crow_of(crow_sup, sup, fill[s * 128 + l]) * 128
                 + crow_lane];
+            if (layer_aware >= 2) {
+              const int32_t m =
+                  cmax[cb_of(crow_sup, sup, fill[s * 128 + l])];
+              if (d + 1 > m) raises += d + 1 - m;
+            }
             sc += static_cast<int64_t>(d) * d;
           }
-          for (int64_t j = ext_ptr[e]; j < ext_ptr[e + 1]; ++j) {
-            const int32_t d = D[row_of(ext_wc[j]) * 128 + l];
-            sc += static_cast<int64_t>(d) * d;
+          if (layer_aware >= 2) {
+            // true layer cost: per window, the new bucket max minus the
+            // current one (cells of one window are adjacent post-sort)
+            int64_t curw = -1;
+            int32_t curmax = 0;
+            for (int64_t j = cptr[e]; j < cptr[e + 1]; ++j) {
+              const int64_t w2 = cwc[j] / 8;
+              if (w2 != curw) {
+                if (curw >= 0) {
+                  const int32_t m = bmax[brow_of(sup, curw)];
+                  if (curmax > m) raises += curmax - m;
+                }
+                curw = w2;
+                curmax = 0;
+              }
+              const int32_t d = D[row_of(cwc[j]) * 128 + l];
+              const int32_t nd = d + ck[j];
+              if (nd > curmax) curmax = nd;
+              sc += static_cast<int64_t>(d) * d;
+            }
+            if (curw >= 0) {
+              const int32_t m = bmax[brow_of(sup, curw)];
+              if (curmax > m) raises += curmax - m;
+            }
+          } else {
+            for (int64_t j = ext_ptr[e]; j < ext_ptr[e + 1]; ++j) {
+              const int32_t d = D[row_of(ext_wc[j]) * 128 + l];
+              if (layer_aware &&
+                  d >= bmax[brow_of(sup, ext_wc[j] / 8)])
+                ++raises;
+              sc += static_cast<int64_t>(d) * d;
+            }
           }
-          if (sc < best_score) {
+          if (raises < best_raises ||
+              (raises == best_raises && sc < best_score)) {
             best_score = sc;
+            best_raises = raises;
             best_s = s;
             best_l = l;
-            if (sc == 0) break;  // cannot improve on an empty cell set
+            if (raises == 0 && sc == 0) break;  // cannot improve
           }
         }
-        if (best_score == 0) break;
+        if (best_raises == 0 && best_score == 0) break;
       }
       const int64_t sup = sup0 + best_s;
       const int sub = fill[best_s * 128 + best_l];
@@ -585,19 +689,33 @@ void balance_extra_slots_i64(int64_t n_extra, const int64_t* ext_ptr,
       fill[best_s * 128 + best_l] += 1;
       int32_t* D = depth.data()
           + (hashed ? 0 : static_cast<size_t>(sup) * n_wc * 128);
-      for (int64_t j = ext_ptr[e]; j < ext_ptr[e + 1]; ++j) {
+      const int64_t* uwc = layer_aware >= 2 ? cwc.data() : ext_wc;
+      const int64_t uj0 = layer_aware >= 2 ? cptr[e] : ext_ptr[e];
+      const int64_t uj1 = layer_aware >= 2 ? cptr[e + 1] : ext_ptr[e + 1];
+      for (int64_t j = uj0; j < uj1; ++j) {
         size_t row;
         if (!hashed) {
-          row = static_cast<size_t>(ext_wc[j]);
+          row = static_cast<size_t>(uwc[j]);
         } else {
-          uint64_t kk = static_cast<uint64_t>(sup * n_wc + ext_wc[j])
+          uint64_t kk = static_cast<uint64_t>(sup * n_wc + uwc[j])
               * 0x9E3779B97F4A7C15ull;
           row = static_cast<size_t>((kk >> 24) & h_mask);
         }
-        D[row * 128 + best_l] += 1;
+        const int32_t add = layer_aware >= 2 ? ck[j] : 1;
+        const int32_t nd = (D[row * 128 + best_l] += add);
+        if (layer_aware) {
+          int32_t& m = bmax[brow_of(sup, uwc[j] / 8)];
+          if (nd > m) m = nd;
+        }
       }
-      if (crow >= 0)
-        cdepth[crow_of(crow_sup, sup, sub) * 128 + crow_lane] += 1;
+      if (crow >= 0) {
+        const int32_t nd =
+            (cdepth[crow_of(crow_sup, sup, sub) * 128 + crow_lane] += 1);
+        if (layer_aware >= 2) {
+          int32_t& m = cmax[cb_of(crow_sup, sup, sub)];
+          if (nd > m) m = nd;
+        }
+      }
     }
   }
 }
