@@ -73,11 +73,7 @@ def main() -> int:
                                          step_groups=S, device=cpu0)
                   for S in (128, 384)}
     plan_host = plan_hosts[128]
-    host_leaves, plan_aux = plan_host.tree_flatten()
-    host_leaves = [np.asarray(a) for a in host_leaves]
-
-    plan = WindowEllPlan.tree_unflatten(
-        plan_aux, tuple(jax.device_put(a, dev) for a in host_leaves))
+    plan = plan_host.to_device(dev)
     log(f"plan: groups={plan.n_groups} occupancy={plan_host.occupancy:.3f} "
         f"extras={plan.n_extra} build+upload {time.time()-t0:.1f}s")
 
@@ -117,9 +113,7 @@ def main() -> int:
             f"({actual_bytes/secs/1e9:.0f} GB/s actual)")
     # the alternate step width (see plan_hosts comment)
     p384_host = plan_hosts[384]
-    l384, aux384 = p384_host.tree_flatten()
-    p384 = WindowEllPlan.tree_unflatten(
-        aux384, tuple(jax.device_put(np.asarray(a), dev) for a in l384))
+    p384 = p384_host.to_device(dev)
     act384 = p384.n_groups * 1024 * (5.5 if p384.sbn else 6.0) \
         + (p384.cols_pad + (p384.e8 + p384.out8) * 128) * 4
     ok384 = spmv_matches(np.asarray(spmv_window_ell(p384, x)), csr,

@@ -44,24 +44,25 @@ def main():
 
     # (label, spill_beta, cap_slack, balance window, step width,
     #  balancer scoring mode — 0 reproduces the round-3 d^2 greedy,
-    #  2 the atom-aware layer-cost greedy; see native.cc)
+    #  2 the atom-aware layer-cost greedy; see native.cc —
+    #  and permute_rows: within-superblock row→lane leveling)
     configs = [
-        ("legacy  beta=0   win=0    S=128", 0.0, 1, 0, 128, 0),
-        ("r3      beta=2.6 win=1    S=128", 2.6, 1, 1, 128, 0),
-        ("new     beta=2.2 sl0 w2L2 S=128", 2.2, 0, 2, 128, 2),
-        ("new     beta=2.2 sl0 w2L2 S=384", 2.2, 0, 2, 384, 2),
-        ("r3      beta=2.6 win=1    S=384", 2.6, 1, 1, 384, 0),
+        ("legacy  beta=0   win=0    S=128", 0.0, 1, 0, 128, 0, False),
+        ("r3      beta=2.6 win=1    S=128", 2.6, 1, 1, 128, 0, False),
+        ("new     beta=2.2 sl0 w2L2 S=128", 2.2, 0, 2, 128, 2, False),
+        ("perm    beta=2.2 sl0 w2L2 S=128", 2.2, 0, 2, 128, 2, True),
+        ("perm    beta=2.2 sl0 w2L2 S=384", 2.2, 0, 2, 384, 2, True),
+        ("new     beta=2.2 sl0 w2L2 S=384", 2.2, 0, 2, 384, 2, False),
+        ("r3      beta=2.6 win=1    S=384", 2.6, 1, 1, 384, 0, False),
     ]
-    for label, beta, slack, win, S, layer in configs:
+    for label, beta, slack, win, S, layer, perm in configs:
         os.environ["TPU_SPMV_BALANCE_WINDOW"] = str(win)
         os.environ["TPU_SPMV_BALANCE_LAYER"] = str(layer)
         t0 = time.time()
         ph = WindowEllPlan.build(csr, split_rows=128, step_groups=S,
                                  spill_beta=beta, cap_slack=slack,
-                                 device=cpu0)
-        leaves, aux = ph.tree_flatten()
-        p = WindowEllPlan.tree_unflatten(
-            aux, tuple(jax.device_put(np.asarray(a), dev) for a in leaves))
+                                 device=cpu0, permute_rows=perm)
+        p = ph.to_device(dev)
         build_s = time.time() - t0
         y = np.asarray(spmv_window_ell(p, x))
         ok = spmv_matches(y, csr, x_h, rel_tol=1e-5)
@@ -70,7 +71,8 @@ def main():
             s = time_jitted(spmv_window_ell, p, x, iters=300,
                             samples=5, estimator="median")
             act = p.n_groups * 1024 * (5.5 if p.sbn else 6.0) \
-                + (p.cols_pad + (p.e8 + p.out8) * 128) * 4
+                + (p.cols_pad + (p.e8 + p.out8) * 128) * 4 \
+                + (0 if p.lam is None else int(p.lam.size) * 12)
             if act / s / 1e9 <= stream * 1.02:
                 best = s
                 break

@@ -64,6 +64,8 @@ def main():
             return spmv_window_ell, p
         if label == "dispatch build_auto":
             return build_auto(csr, device=cpu0)
+        if label == "build_auto permute_rows":
+            return build_auto(csr, device=cpu0, permute_rows=True)
         if label == "banded4096 beta=2.6 slack=1":
             return spmv_banded, build_banded(
                 csr, sup=4096, spill_beta=2.6, cap_slack=1, device=cpu0)
@@ -78,6 +80,7 @@ def main():
     for label, win, layer in (
             ("r3-baseline sup=16384", 1, 0),
             ("dispatch build_auto", 2, 2),
+            ("build_auto permute_rows", 2, 2),
             ("banded4096 beta=2.6 slack=0", 1, 0),
             ("banded4096 beta=2.6 slack=1", 1, 0)):
         os.environ["TPU_SPMV_BALANCE_WINDOW"] = str(win)

@@ -177,3 +177,60 @@ def test_plan_positions_native_matches_numpy():
                     + part - 1)
     np.testing.assert_array_equal(got_pos, want)
     np.testing.assert_array_equal(got_row, row_of)
+
+
+def test_balance_row_tiles_valid_permutation():
+    """balance_row_tiles assigns each 128-row tile's rows distinct lanes
+    (a per-tile permutation), confines a partial final tile to
+    [0, tile_len), and is deterministic."""
+    import numpy as np
+
+    from tpu_spmv import native
+
+    if native._lib is None:
+        import pytest
+
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(3)
+    rows = 128 * 5 + 41                       # partial final tile
+    row_len = rng.integers(0, 30, rows).astype(np.int64)
+    row_ptrs = np.zeros(rows + 1, np.int64)
+    np.cumsum(row_len, out=row_ptrs[1:])
+    n_wc = 64
+    wc = rng.integers(0, n_wc, int(row_ptrs[-1])).astype(np.int64)
+    parts = np.maximum(-(-row_len // 8), 1)
+    lanes = native.balance_row_tiles(row_ptrs, wc, n_wc, sup_rows=256,
+                                     parts=parts)
+    assert lanes is not None and lanes.shape == (rows,)
+    for t0 in range(0, rows, 128):
+        tl = min(128, rows - t0)
+        got = np.sort(lanes[t0:t0 + tl])
+        np.testing.assert_array_equal(got, np.arange(tl))
+    lanes2 = native.balance_row_tiles(row_ptrs, wc, n_wc, sup_rows=256,
+                                      parts=parts)
+    np.testing.assert_array_equal(lanes, lanes2)
+
+
+def test_balance_row_tiles_levels_conflicting_rows():
+    """Two deep rows stacking the same (chunk, lane) cell must end up on
+    different lanes (the leveler's whole purpose)."""
+    import numpy as np
+
+    from tpu_spmv import native
+
+    if native._lib is None:
+        import pytest
+
+        pytest.skip("native library not built")
+    rows = 256
+    # rows 0 and 128 are heavy in chunk 0 and share lane (r % 128 == 0);
+    # every other row is empty
+    row_len = np.zeros(rows, np.int64)
+    row_len[0] = row_len[128] = 40
+    row_ptrs = np.zeros(rows + 1, np.int64)
+    np.cumsum(row_len, out=row_ptrs[1:])
+    wc = np.zeros(80, np.int64)                # all nnz in chunk 0
+    lanes = native.balance_row_tiles(row_ptrs, wc, 8, sup_rows=256,
+                                     parts=None)
+    assert lanes is not None
+    assert lanes[0] != lanes[128]

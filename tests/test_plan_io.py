@@ -139,3 +139,25 @@ def test_banded_load_rejects_other_plan_kinds(tmp_path, rng):
     p.save(path)
     with pytest.raises(InvalidFormatError):
         BandedPlan.load(path)
+
+
+def test_permuted_plan_roundtrip(tmp_path, rng):
+    """A permute_rows plan's lam leaf survives save/load and the loaded
+    plan still restores natural row order."""
+    import numpy as np
+
+    from tpu_spmv.kernels.window_ell import WindowEllPlan, spmv_window_ell
+    from tpu_spmv.utils.testing import spmv_matches
+
+    csr = rng.power_law_csr(1500, 900, avg_nnz=10.0, alpha=1.6)
+    plan = WindowEllPlan.build(csr, split_rows=128, permute_rows=True)
+    assert plan.lam is not None
+    path = str(tmp_path / "perm.npz")
+    plan.save(path)
+    loaded = WindowEllPlan.load(path)
+    assert loaded.lam is not None
+    np.testing.assert_array_equal(np.asarray(loaded.lam),
+                                  np.asarray(plan.lam))
+    x = rng.vector(900)
+    y = np.asarray(spmv_window_ell(loaded, x))
+    assert spmv_matches(y, csr, x, rel_tol=1e-5)

@@ -122,6 +122,96 @@ class TestCapacityGuards:
         np.testing.assert_allclose(res.y_host(), expected, rtol=1e-5)
 
 
+class TestPermuteRows:
+    """``build(permute_rows=True)``: within-superblock row→lane leveling.
+    The plan computes on a row-permuted matrix; ``lam`` restores row
+    order with one per-tile lane gather — the public y contract is
+    byte-identical to natural-order plans."""
+
+    def test_matches_oracle_random(self, rng):
+        for _ in range(DEVICE_PROP_ITERS):
+            rows = rng.uniform_int(1, 300)
+            cols = rng.uniform_int(1, 300)
+            csr = csr_from_dense(rng.dense_matrix(rows, cols, 0.2))
+            plan = WindowEllPlan.build(csr, permute_rows=True)
+            x = rng.vector(cols)
+            y = np.asarray(spmv_window_ell(plan, x))
+            assert spmv_matches(y, csr, x)
+
+    def test_identical_output_to_natural_plan(self, rng):
+        """The leveling is pure layout: every row still sums exactly its
+        own nonzeros, so y agrees with the natural plan to fp32
+        reassociation tolerance (the addition ORDER per row may differ)."""
+        csr = rng.power_law_csr(2000, 1500, avg_nnz=12.0, alpha=1.6)
+        x = rng.vector(1500)
+        y_nat = np.asarray(spmv_window_ell(
+            WindowEllPlan.build(csr, split_rows=128), x))
+        y_perm = np.asarray(spmv_window_ell(
+            WindowEllPlan.build(csr, split_rows=128, permute_rows=True), x))
+        scale = float(np.abs(y_nat).max())
+        np.testing.assert_allclose(y_perm, y_nat, rtol=1e-4,
+                                   atol=1e-5 * scale)
+
+    def test_leveling_does_not_add_groups(self, rng):
+        """On skewed structure the leveler's whole point is fewer group
+        layers; at minimum it must never be worse than natural order."""
+        csr = rng.power_law_csr(4000, 2000, avg_nnz=15.0, alpha=1.6)
+        nat = WindowEllPlan.build(csr, split_rows=128)
+        lev = WindowEllPlan.build(csr, split_rows=128, permute_rows=True)
+        assert lev.n_groups <= nat.n_groups
+        assert lev.lam is not None
+
+    def test_lam_is_per_tile_permutation(self, rng):
+        """lam rows are permutations of [0,128); a partial final tile's
+        real rows gather only from lanes [0, tile_len)."""
+        rows = 129 * 3 + 37          # partial final tile of 37 rows
+        csr = rng.power_law_csr(rows, 900, avg_nnz=9.0, alpha=1.6)
+        plan = WindowEllPlan.build(csr, permute_rows=True)
+        assert plan.lam is not None
+        lam = np.asarray(plan.lam)
+        assert lam.shape[1] == 128
+        for t in range(lam.shape[0]):
+            assert sorted(lam[t].tolist()) == list(range(128))
+        n_full, tail = divmod(rows, 128)
+        assert (lam.reshape(-1)[n_full * 128:rows] < tail).all()
+        x = rng.vector(900)
+        y = np.asarray(spmv_window_ell(plan, x))
+        assert spmv_matches(y, csr, x, rel_tol=1e-5)
+
+    def test_disabled_without_balancer(self, rng, monkeypatch):
+        """TPU_SPMV_NO_BALANCE (or a missing native library) degrades to
+        a natural-order plan — correct, just unleveled."""
+        monkeypatch.setenv("TPU_SPMV_NO_BALANCE", "1")
+        csr = csr_from_dense(rng.dense_matrix(200, 200, 0.1))
+        plan = WindowEllPlan.build(csr, permute_rows=True)
+        assert plan.lam is None
+        x = rng.vector(200)
+        assert spmv_matches(np.asarray(spmv_window_ell(plan, x)), csr, x)
+
+    def test_pytree_round_trip_keeps_lam(self, rng):
+        import jax
+
+        csr = csr_from_dense(rng.dense_matrix(150, 150, 0.1))
+        plan = WindowEllPlan.build(csr, permute_rows=True)
+        leaves, treedef = jax.tree_util.tree_flatten(plan)
+        plan2 = jax.tree_util.tree_unflatten(treedef, leaves)
+        assert (plan2.lam is None) == (plan.lam is None)
+        x = rng.vector(150)
+        assert spmv_matches(np.asarray(spmv_window_ell(plan2, x)), csr, x)
+
+    def test_banded_permuted(self, rng):
+        """Per-band leveling through build_banded (each band carries its
+        own lam; spmv_banded unpermutes per band)."""
+        from tpu_spmv.kernels.window_ell import build_banded, spmv_banded
+
+        csr = rng.power_law_csr(3000, 1200, avg_nnz=8.0, alpha=1.6)
+        bp = build_banded(csr, sup=1024, n_bands=2, permute_rows=True)
+        assert len(bp.plans) >= 2
+        x = rng.vector(1200)
+        y = np.asarray(spmv_banded(bp, x))
+        assert spmv_matches(y, csr, x, rel_tol=1e-5)
+
+
 def test_autotune_returns_correct_plan(rng):
     """WindowEllPlan.autotune measures candidate step widths and returns
     a working plan (functional check on the CPU backend)."""

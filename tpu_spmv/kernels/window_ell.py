@@ -180,6 +180,58 @@ def _unique_ic(keys: np.ndarray):
     return unique_inverse_counts(keys)
 
 
+def _level_rows(csr: CSRMatrix, sup_rows: int, split_rows):
+    """Within-superblock row→lane leveling (``permute_rows=True``).
+
+    Rows of each 128-row tile are reassigned to distinct lanes by the
+    native greedy (:func:`tpu_spmv.native.balance_row_tiles`) so
+    per-(window, chunk, lane) cell depths level within every superblock
+    — the same atom-aware layer cost as the extras slot balancer, now
+    applied to the ROW region (measured on the 10M-nnz power-law
+    headline: 17152 → 15488 groups; 262K web graph at sup=4096:
+    39552 → ~32.5K).  Because the permutation is per-tile, the inverse
+    is ONE lane gather on the (tiles, 128) output block
+    (:func:`_unpermute_tiles`) — the public y-order contract holds.
+
+    Returns ``(lam, permuted_csr)`` where ``lam[t, j]`` is the permuted
+    lane holding original row ``t*128 + j`` (int32, identity in the
+    padded tail), or ``(None, csr)`` when the native library is absent
+    or ``TPU_SPMV_NO_BALANCE`` is set (callers keep natural order).
+    """
+    from ..native import balance_row_tiles
+
+    rows, nnz = csr.num_rows, csr.nnz
+    row_len = np.diff(csr.row_ptrs).astype(np.int64)
+    parts = np.maximum(-(-row_len // split_rows), 1) if split_rows \
+        else None
+    # wc = global chunk id (window * CHUNKS + chunk) = col // LANE
+    wc = csr.col_indices.astype(np.int64) // LANE
+    n_wc = _bucket(max(csr.num_cols, 1)) // LANE
+    lanes = balance_row_tiles(csr.row_ptrs, wc, n_wc, sup_rows, parts)
+    if lanes is None:
+        return None, csr
+    new_of_old = (np.arange(rows, dtype=np.int64) // LANE) * LANE + lanes
+    old_of_new = np.empty(rows, np.int64)
+    old_of_new[new_of_old] = np.arange(rows, dtype=np.int64)
+    new_len = row_len[old_of_new]
+    new_ptr64 = np.zeros(rows + 1, np.int64)
+    np.cumsum(new_len, out=new_ptr64[1:])
+    # per-nnz gather: new row i's slice comes from old row old_of_new[i]
+    gat = np.repeat(csr.row_ptrs[old_of_new].astype(np.int64)
+                    - new_ptr64[:-1], new_len) \
+        + np.arange(nnz, dtype=np.int64)
+    perm_csr = CSRMatrix(rows, csr.num_cols, csr.values[gat],
+                         csr.col_indices[gat],
+                         new_ptr64.astype(csr.row_ptrs.dtype))
+    n_tiles = -(-rows // LANE)
+    # pad tiles so the unpermute kernel's block height divides evenly
+    t_u = min(512, _pad_pow2(n_tiles, minimum=8))
+    n_tiles_pad = -(-n_tiles // t_u) * t_u
+    lam = np.tile(np.arange(LANE, dtype=np.int32), (n_tiles_pad, 1))
+    lam.reshape(-1)[:rows] = lanes.astype(np.int32)
+    return lam, perm_csr
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class WindowEllPlan:
@@ -218,10 +270,16 @@ class WindowEllPlan:
     sup: int                 # rows per superblock (scatter targets = sup/128)
     occupancy: float
     sbn: bool = False        # sb stream nibble-packed across group pairs
+    lam: object = None       # i32 (ceil(rows/128), 128) per-tile source
+    #   lane when the plan was built with ``permute_rows=True`` (rows
+    #   leveled onto lanes within each superblock; the kernel output is
+    #   in leveled order and ``_unpermute_rows`` restores row order with
+    #   one take_along_axis lane gather) — None for natural-order plans
 
     def tree_flatten(self):
         leaves = (self.vals, self.lo, self.sb, self.wg, self.base,
-                  self.blk_step, self.fin_step, self.extra_to_row)
+                  self.blk_step, self.fin_step, self.extra_to_row,
+                  self.lam)
         # occupancy is diagnostic only — excluded from aux so it never
         # fragments the jit cache (plans reconstructed via pytree ops
         # report occupancy 0.0)
@@ -232,7 +290,7 @@ class WindowEllPlan:
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        return cls(*leaves, *aux)
+        return cls(*leaves[:-1], *aux, leaves[-1])
 
     @property
     def n_groups(self) -> int:
@@ -241,6 +299,16 @@ class WindowEllPlan:
     @property
     def n_steps(self) -> int:
         return int(self.blk_step.shape[0])
+
+    def to_device(self, device) -> "WindowEllPlan":
+        """Copy of the plan with every array leaf on ``device`` (host
+        plans built with ``device=cpu`` upload this way; ``lam`` may be
+        ``None`` and is carried through)."""
+        leaves, aux = self.tree_flatten()
+        moved = tuple(a if a is None
+                      else jax.device_put(np.asarray(a), device)
+                      for a in leaves)
+        return WindowEllPlan.tree_unflatten(aux, moved)
 
     def save(self, path: str) -> None:
         """Persist the built plan (see :mod:`tpu_spmv.plan_io`)."""
@@ -295,8 +363,8 @@ class WindowEllPlan:
               step_groups: int | None = None, cap_slack: int | None = None,
               cap_margin: float = 0.3, spill_rounds: int = 1,
               max_inflation: float = 64.0, sup: int | None = None,
-              spill_beta: float | None = None,
-              device=None) -> "WindowEllPlan":
+              spill_beta: float | None = None, device=None,
+              permute_rows: bool = False) -> "WindowEllPlan":
         """Pack a host CSR matrix into the window-ELL layout (vectorized).
 
         ``sup=None`` picks the superblock height by the measured cost
@@ -318,7 +386,8 @@ class WindowEllPlan:
                 else _auto_caps(sup)[1]
             return WindowEllPlan._build(
                 csr, split_rows, step_groups, slack, cap_margin,
-                spill_rounds, max_inflation, sup, spill_beta, device)
+                spill_rounds, max_inflation, sup, spill_beta, device,
+                permute_rows)
         start = _choose_sup(csr)
         err = None
         for s in SUP_LEVELS[SUP_LEVELS.index(start):]:
@@ -331,7 +400,8 @@ class WindowEllPlan:
             try:
                 return WindowEllPlan._build(
                     csr, split_rows, step_groups, slack, cap_margin,
-                    spill_rounds, max_inflation, s, spill_beta, device)
+                    spill_rounds, max_inflation, s, spill_beta, device,
+                    permute_rows)
             except WindowEllOverflow as e:
                 err = e
         raise err
@@ -339,7 +409,7 @@ class WindowEllPlan:
     @staticmethod
     def _build(csr: CSRMatrix, split_rows, step_groups, cap_slack,
                cap_margin, spill_rounds, max_inflation, sup, spill_beta,
-               device) -> "WindowEllPlan":
+               device, permute_rows: bool = False) -> "WindowEllPlan":
         sup_rows = sup           # scalar superblock height; ``sup`` below
         del sup                  # is reused for per-nnz superblock ids
         if spill_beta is None:
@@ -381,6 +451,12 @@ class WindowEllPlan:
         step_groups = T_BASE if step_groups <= T_BASE \
             else -(-step_groups // T_SUB) * T_SUB
         S = step_groups
+        lam_arr = None
+        if permute_rows and nnz and rows > 1:
+            # within-superblock row→lane leveling: build on the permuted
+            # matrix; the plan carries the per-tile inverse (lam) and the
+            # dispatch restores row order with one lane gather
+            lam_arr, csr = _level_rows(csr, sup_rows, split_rows)
         row_len = np.diff(csr.row_ptrs).astype(np.int64)
         if nnz:
             row_of_nnz = np.repeat(np.arange(rows, dtype=np.int64), row_len)
@@ -813,6 +889,7 @@ class WindowEllPlan:
             sup=sup_rows,
             occupancy=float(nnz / slots) if slots else 0.0,
             sbn=sbn,
+            lam=put(lam_arr) if lam_arr is not None else None,
         )
 
 
@@ -1043,6 +1120,48 @@ def _build_pallas(n_steps: int, S: int, out8: int, cols8: int, e8: int,
     )
 
 
+@functools.lru_cache(maxsize=32)
+def _build_unpermute(n_tiles_pad: int, interpret: bool):
+    """Lane-gather kernel restoring row order for ``permute_rows`` plans:
+    ``out[t, j] = y[t, lam[t, j]]`` — the within-sublane lane shuffle is
+    the one fast dynamic gather the VPU exposes (same primitive as the
+    main kernel's x-table gather).  Pure HBM copy otherwise (~8 B/row);
+    done in Pallas because XLA lowers host-level ``take_along_axis`` to
+    a generic gather (measured ~0.12 Gelem/s on v5e — docs/PERF.md)."""
+    t_u = min(512, n_tiles_pad)
+
+    def kernel(y_ref, lam_ref, o_ref):
+        o_ref[:] = jnp.take_along_axis(y_ref[:], lam_ref[:], axis=1)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles_pad // t_u,),
+        in_specs=[
+            pl.BlockSpec((t_u, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_u, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((t_u, LANE), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles_pad, LANE), jnp.float32),
+        interpret=interpret,
+    )
+
+
+def _unpermute_tiles(out: jax.Array, lam: jax.Array,
+                     num_rows: int) -> jax.Array:
+    """Restore original row order from a leveled (out8, 128) output
+    block: gather each tile's lanes through ``lam`` and trim."""
+    n_tiles_pad = lam.shape[0]
+    n_tiles = min(n_tiles_pad, out.shape[0])
+    y = out[:n_tiles]
+    if n_tiles_pad > n_tiles:
+        y = jnp.pad(y, ((0, n_tiles_pad - n_tiles), (0, 0)))
+    y = _build_unpermute(n_tiles_pad, _use_interpret())(y, lam)
+    return y.reshape(-1)[:num_rows]
+
+
 def _spmv_window_ell(plan: WindowEllPlan, x: jax.Array,
                      vma: frozenset | None = None) -> jax.Array:
     """Unjitted impl of :func:`spmv_window_ell` (``vma`` threads the
@@ -1057,6 +1176,8 @@ def _spmv_window_ell(plan: WindowEllPlan, x: jax.Array,
                        plan.sup // LANE, _use_interpret(), vma, plan.sbn)
     out = fn(plan.wg, plan.base, plan.blk_step, plan.fin_step, x2d,
              plan.vals, plan.lo, plan.sb)
+    if plan.lam is not None:
+        return _unpermute_tiles(out, plan.lam, plan.num_rows)
     return out.reshape(-1)[: plan.num_rows]
 
 
@@ -1330,7 +1451,7 @@ def build_banded(csr: CSRMatrix, sup: int, n_bands: int | None = None,
                  step_groups: int | None = None,
                  cap_slack: int | None = None,
                  spill_beta: float | None = None,
-                 device=None) -> BandedPlan:
+                 device=None, permute_rows: bool = False) -> BandedPlan:
     """Build a :class:`BandedPlan` at the given superblock height.
 
     ``n_bands=None`` sizes the bands adaptively: a first full-matrix
@@ -1347,7 +1468,8 @@ def build_banded(csr: CSRMatrix, sup: int, n_bands: int | None = None,
     per-band layouts for a matrix that fits in one band.
     """
     kw = dict(split_rows=split_rows, step_groups=step_groups,
-              cap_slack=cap_slack, spill_beta=spill_beta, device=device)
+              cap_slack=cap_slack, spill_beta=spill_beta, device=device,
+              permute_rows=permute_rows)
     if n_bands is None:
         try:
             p = WindowEllPlan.build(csr, sup=sup, **kw)
@@ -1424,7 +1546,7 @@ def spmv_banded(bp: BandedPlan, x: jax.Array) -> jax.Array:
 def build_auto(csr: CSRMatrix, split_rows: int | None = None,
                step_groups: int | None = None,
                choice: tuple | None = None,
-               device=None):
+               device=None, permute_rows: bool = False):
     """Resolve the best packed layout for ``csr``: a single
     :class:`WindowEllPlan` when it fits, else a :class:`BandedPlan` at
     the cost-model superblock before escalating to wider superblocks.
@@ -1462,12 +1584,14 @@ def build_auto(csr: CSRMatrix, split_rows: int | None = None,
                 bp = build_banded(
                     csr, sup=s, n_bands=nb0, split_rows=split,
                     step_groups=step_groups, cap_slack=slack,
-                    spill_beta=beta, device=device)
+                    spill_beta=beta, device=device,
+                    permute_rows=permute_rows)
                 return (spmv_banded, bp) if len(bp.plans) > 1 \
                     else (spmv_window_ell, bp.plans[0])
             p = WindowEllPlan.build(
                 csr, split_rows=split, step_groups=step_groups,
-                cap_slack=slack, sup=s, spill_beta=beta, device=device)
+                cap_slack=slack, sup=s, spill_beta=beta, device=device,
+                permute_rows=permute_rows)
             return spmv_window_ell, p
         except WindowEllOverflow as e:
             err = e
@@ -1484,7 +1608,8 @@ def build_auto(csr: CSRMatrix, split_rows: int | None = None,
                 bp = build_banded(
                     csr, sup=s, n_bands=nb, split_rows=split,
                     step_groups=step_groups, cap_slack=slack,
-                    spill_beta=beta, device=device)
+                    spill_beta=beta, device=device,
+                    permute_rows=permute_rows)
                 return spmv_banded, bp
             except WindowEllOverflow as e2:
                 err = e2

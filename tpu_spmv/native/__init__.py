@@ -76,6 +76,11 @@ if os.path.exists(_LIB_PATH) and not os.environ.get("TPU_SPMV_NO_NATIVE"):
             ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)]
+        _lib.balance_row_tiles_i64.argtypes = [
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64)]
         _lib.mtx_open.restype = ctypes.c_void_p
         _lib.mtx_open.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
@@ -314,6 +319,36 @@ def balance_extra_slots(ext_ptr: np.ndarray, ext_wc: np.ndarray,
         _p(np.ascontiguousarray(ext_wc, np.int64), ctypes.c_int64),
         n_wc, crow_p, sup_rows, window_sups, hash_bits,
         int(layer_aware), _p(out, ctypes.c_int64))
+    return out
+
+
+def balance_row_tiles(row_ptrs: np.ndarray, wc: np.ndarray, n_wc: int,
+                      sup_rows: int, parts: np.ndarray | None = None):
+    """Within-superblock row→lane leveling for
+    ``WindowEllPlan.build(permute_rows=True)`` (see
+    ``balance_row_tiles_i64`` in native.cc): assigns each 128-row tile's
+    rows to distinct lanes so per-(window, chunk, lane) cell depths
+    level within the superblock.  Returns the per-row LANE array (rows
+    of a partial final tile confined to lanes ``[0, tile_len)``), or
+    ``None`` when the native library is absent or balancing is disabled
+    via ``TPU_SPMV_NO_BALANCE`` (callers keep the natural order —
+    correct, just unleveled).  ``parts`` (optional) is the per-row
+    stride-split count; content is divided by it so rows the builder
+    will split are not over-weighted."""
+    n_rows = len(row_ptrs) - 1
+    if _lib is None or n_rows <= 0 \
+            or os.environ.get("TPU_SPMV_NO_BALANCE"):
+        return None
+    out = np.empty(n_rows, np.int64)
+    parts_arr = np.ascontiguousarray(parts, np.int64) \
+        if parts is not None else None  # keep alive across the call
+    parts_p = _p(parts_arr, ctypes.c_int64) if parts_arr is not None \
+        else None
+    _lib.balance_row_tiles_i64(
+        n_rows,
+        _p(np.ascontiguousarray(row_ptrs, np.int64), ctypes.c_int64),
+        _p(np.ascontiguousarray(wc, np.int64), ctypes.c_int64),
+        parts_p, n_wc, sup_rows, _p(out, ctypes.c_int64))
     return out
 
 

@@ -720,6 +720,107 @@ void balance_extra_slots2_i64(int64_t n_extra, const int64_t* ext_ptr,
   }
 }
 
+// ---- within-superblock row->lane leveling (round-3 late) ----
+// Used by WindowEllPlan.build(permute_rows=True): rows of each 128-row
+// TILE are assigned distinct lanes (a per-tile lane permutation), so
+// the inverse on the output is ONE take_along_axis lane gather — the
+// public y-order contract is unchanged.  Within a superblock the greedy
+// levels per-(window, chunk, lane) cell depths with the same atom-aware
+// layer cost as balance_extra_slots2_i64: raise-count primary (true
+// increase in the superblock's sum-of-bucket-maxes), sum-d^2 tiebreak.
+// parts[r] (or NULL) divides row content by its stride-split count so
+// rows the builder will split are not over-weighted (each split part
+// sees ~1/parts of every cell).  Rows of a partial final tile are
+// confined to lanes [0, tile_len) so the permuted position space stays
+// dense (argsort of positions is then a valid permutation).
+// Measured on the 10M-nnz power-law headline: 17152 -> 15488 groups;
+// 262K web graph at sup=4096: 39552 -> ~32.4K (docs/PERF.md).
+// Deterministic.
+void balance_row_tiles_i64(int64_t n_rows, const int64_t* row_ptr,
+                           const int64_t* wc, const int64_t* parts,
+                           int64_t n_wc, int64_t sup_rows,
+                           int64_t* out_lane) {
+  if (n_rows <= 0) return;
+  std::vector<int32_t> depth(static_cast<size_t>(n_wc) * 128);
+  std::vector<int32_t> bmax(static_cast<size_t>((n_wc + 7) / 8));
+  std::vector<int64_t> cwc, tmp;
+  std::vector<int32_t> ck;
+  std::vector<int> order(128);
+  for (int64_t sup0 = 0; sup0 < n_rows; sup0 += sup_rows) {
+    std::fill(depth.begin(), depth.end(), 0);
+    std::fill(bmax.begin(), bmax.end(), 0);
+    const int64_t sup_end = std::min(n_rows, sup0 + sup_rows);
+    for (int64_t t0 = sup0; t0 < sup_end; t0 += 128) {
+      const int tl = static_cast<int>(std::min<int64_t>(128, sup_end - t0));
+      order.resize(tl);
+      for (int i = 0; i < tl; ++i) order[i] = i;
+      std::sort(order.begin(), order.end(), [&](int a, int b) {
+        int64_t la = row_ptr[t0 + a + 1] - row_ptr[t0 + a];
+        int64_t lb = row_ptr[t0 + b + 1] - row_ptr[t0 + b];
+        if (parts) {
+          la /= std::max<int64_t>(parts[t0 + a], 1);
+          lb /= std::max<int64_t>(parts[t0 + b], 1);
+        }
+        return la != lb ? la > lb : a < b;
+      });
+      uint64_t used[2] = {0, 0};
+      for (int oi = 0; oi < tl; ++oi) {
+        const int64_t r = t0 + order[oi];
+        tmp.assign(wc + row_ptr[r], wc + row_ptr[r + 1]);
+        std::sort(tmp.begin(), tmp.end());
+        cwc.clear();
+        ck.clear();
+        const int64_t pr = parts ? std::max<int64_t>(parts[r], 1) : 1;
+        for (size_t j = 0; j < tmp.size();) {
+          size_t j2 = j;
+          while (j2 < tmp.size() && tmp[j2] == tmp[j]) ++j2;
+          cwc.push_back(tmp[j]);
+          ck.push_back(static_cast<int32_t>(
+              (static_cast<int64_t>(j2 - j) + pr - 1) / pr));
+          j = j2;
+        }
+        int best_l = -1;
+        int64_t best_raises = INT64_MAX, best_sc = INT64_MAX;
+        for (int l = 0; l < tl; ++l) {
+          if ((used[l >> 6] >> (l & 63)) & 1) continue;
+          int64_t raises = 0, sc = 0;
+          int64_t curw = -1;
+          int32_t curmax = 0;
+          for (size_t j = 0; j < cwc.size(); ++j) {
+            const int64_t w2 = cwc[j] / 8;
+            if (w2 != curw) {
+              if (curw >= 0 && curmax > bmax[curw])
+                raises += curmax - bmax[curw];
+              curw = w2;
+              curmax = 0;
+            }
+            const int32_t d = depth[cwc[j] * 128 + l];
+            const int32_t nd = d + ck[j];
+            if (nd > curmax) curmax = nd;
+            sc += static_cast<int64_t>(nd) * nd
+                - static_cast<int64_t>(d) * d;
+          }
+          if (curw >= 0 && curmax > bmax[curw])
+            raises += curmax - bmax[curw];
+          if (raises < best_raises ||
+              (raises == best_raises && sc < best_sc)) {
+            best_raises = raises;
+            best_sc = sc;
+            best_l = l;
+          }
+        }
+        used[best_l >> 6] |= uint64_t{1} << (best_l & 63);
+        for (size_t j = 0; j < cwc.size(); ++j) {
+          const int32_t nd = (depth[cwc[j] * 128 + best_l] += ck[j]);
+          int32_t& m = bmax[cwc[j] / 8];
+          if (nd > m) m = nd;
+        }
+        out_lane[r] = best_l;
+      }
+    }
+  }
+}
+
 void mtx_fetch(void* handle, int32_t* rows, int32_t* cols, float* vals) {
   auto* d = static_cast<MtxData*>(handle);
   std::memcpy(rows, d->rows.data(), d->rows.size() * sizeof(int32_t));

@@ -483,8 +483,10 @@ def _sharded_packed_fn(mesh: Mesh, axis_name: str, plan_aux: tuple):
     vma = None if interp else frozenset({axis_name})
 
     def local(x, *leaves):
+        # + (None,): lam (the permute_rows inverse) is the 9th plan
+        # child; stacked shard plans are always built in natural order
         plan = WindowEllPlan.tree_unflatten(
-            plan_aux, tuple(a[0] for a in leaves))
+            plan_aux, tuple(a[0] for a in leaves) + (None,))
         if vma is not None:
             # promote the replicated x to varying so every pallas operand
             # carries the same manual axes
@@ -738,7 +740,7 @@ def _ring_spmv_fn(mesh: Mesh, axis_name: str, diag_aux: tuple,
     def local(xblk, pidx, diag_leaves, ring_leaves):
         xloc = xblk[0]
         diag = WindowEllPlan.tree_unflatten(
-            diag_aux, tuple(a[0] for a in diag_leaves))
+            diag_aux, tuple(a[0] for a in diag_leaves) + (None,))
         y = _spmv_window_ell(diag, xloc[:cps], vma=vma)
         if n_shards == 1:
             return y[None]
@@ -747,7 +749,8 @@ def _ring_spmv_fn(mesh: Mesh, axis_name: str, diag_aux: tuple,
         def step(carry, leaves_r):
             y, buf = carry
             buf = jax.lax.ppermute(buf, axis_name, perm)
-            plan = WindowEllPlan.tree_unflatten(ring_aux, leaves_r)
+            plan = WindowEllPlan.tree_unflatten(
+                ring_aux, tuple(leaves_r) + (None,))
             y = y + _spmv_window_ell(plan, buf, vma=vma)
             return (y, buf), 0
 

@@ -36,6 +36,8 @@ _CSR_LEAVES = ("values", "col_indices", "row_ptrs", "row_ids")
 def _window_entry(plan, prefix: str, arrays: dict, meta: dict) -> None:
     for name in _WINDOW_LEAVES:
         arrays[prefix + name] = np.asarray(getattr(plan, name))
+    if plan.lam is not None:  # optional leaf: permute_rows plans only
+        arrays[prefix + "lam"] = np.asarray(plan.lam)
     meta[prefix + "aux"] = {k: getattr(plan, k) for k in _WINDOW_AUX}
     meta[prefix + "occupancy"] = float(plan.occupancy)
 
@@ -45,7 +47,9 @@ def _window_from(prefix: str, z, meta: dict, put):
 
     aux = meta[prefix + "aux"]
     leaves = {n: put(jnp.asarray(z[prefix + n])) for n in _WINDOW_LEAVES}
-    return WindowEllPlan(**leaves, **aux,
+    lam = put(jnp.asarray(z[prefix + "lam"])) \
+        if prefix + "lam" in getattr(z, "files", z) else None
+    return WindowEllPlan(**leaves, **aux, lam=lam,
                          occupancy=float(meta.get(prefix + "occupancy", 0.0)))
 
 
