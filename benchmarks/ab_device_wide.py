@@ -92,19 +92,24 @@ def main():
             print(f"{label}: build failed {type(e).__name__} {e}",
                   flush=True)
             continue
-        p = jax.tree_util.tree_unflatten(
-            jax.tree_util.tree_structure(ph),
-            [jax.device_put(np.asarray(a), dev)
-             for a in jax.tree_util.tree_leaves(ph)])
-        build_s = time.time() - t0
-        y = np.asarray(fn(p, x))
-        ok = spmv_matches(y, csr, x_h, rel_tol=1e-5)
-        s = time_jitted(fn, p, x, iters=60, samples=5, estimator="median")
-        n_plans = len(getattr(ph, "plans", (1,)))
-        print(f"{label}: kind={type(ph).__name__}/{n_plans} sup={ph.sup} "
-              f"groups={ph.n_groups} occ={ph.occupancy:.4f} "
-              f"build={build_s:.0f}s ok={ok} "
-              f"t={s*1e3:.2f} ms = {bm/s/1e9:.2f} GB/s", flush=True)
+        try:
+            p = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(ph),
+                [jax.device_put(np.asarray(a), dev)
+                 for a in jax.tree_util.tree_leaves(ph)])
+            build_s = time.time() - t0
+            y = np.asarray(fn(p, x))
+            ok = spmv_matches(y, csr, x_h, rel_tol=1e-5)
+            s = time_jitted(fn, p, x, iters=60, samples=5,
+                            estimator="median")
+            n_plans = len(getattr(ph, "plans", (1,)))
+            print(f"{label}: kind={type(ph).__name__}/{n_plans} "
+                  f"sup={ph.sup} groups={ph.n_groups} "
+                  f"occ={ph.occupancy:.4f} build={build_s:.0f}s ok={ok} "
+                  f"t={s*1e3:.2f} ms = {bm/s/1e9:.2f} GB/s", flush=True)
+        except Exception as e:  # one failing candidate must not kill
+            # the A/B (e.g. a Mosaic lowering rejection on a new path)
+            print(f"{label}: FAILED {type(e).__name__}: {e}", flush=True)
 
 
 if __name__ == "__main__":

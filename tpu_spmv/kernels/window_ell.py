@@ -118,6 +118,19 @@ AUTO_SPILL_BETA = 2.6
 AUTO_CAP_SLACK = 1
 AUTO_SPILL_BETA_NARROW = 2.2
 AUTO_CAP_SLACK_NARROW = 0
+# dispatch default for within-superblock row→lane leveling (build_auto
+# permute_rows=None resolves here; env override for A/Bs).  CPU slot
+# accounting says −12%/−17% groups (headline/1M web graph); the flip to
+# True waits on the on-device A/B (benchmarks/ab_device*.py) because
+# the inverse lane-gather pass adds ~12 B/row of stream.
+PERMUTE_ROWS_DEFAULT = False
+
+
+def _permute_default() -> bool:
+    env = os.environ.get("TPU_SPMV_PERMUTE_ROWS")
+    if env is not None:
+        return env not in ("0", "")
+    return PERMUTE_ROWS_DEFAULT
 
 
 def _auto_caps(sup: int) -> tuple:
@@ -328,8 +341,8 @@ class WindowEllPlan:
 
     @staticmethod
     def autotune(csr: CSRMatrix, x=None, split_rows: int | None = 128,
-                 widths: tuple = (128, 384), iters: int = 200
-                 ) -> "WindowEllPlan":
+                 widths: tuple = (128, 384), iters: int = 200,
+                 permute_rows: bool = False) -> "WindowEllPlan":
         """Build candidate plans at several step widths, measure each on
         the live device, and return the fastest.
 
@@ -351,7 +364,8 @@ class WindowEllPlan:
         best = None
         for S in widths:
             plan = WindowEllPlan.build(csr, split_rows=split_rows,
-                                       step_groups=S)
+                                       step_groups=S,
+                                       permute_rows=permute_rows)
             secs = time_jitted(spmv_window_ell, plan, x, iters=iters,
                                samples=3, estimator="median")
             if best is None or secs < best[0]:
@@ -1546,7 +1560,7 @@ def spmv_banded(bp: BandedPlan, x: jax.Array) -> jax.Array:
 def build_auto(csr: CSRMatrix, split_rows: int | None = None,
                step_groups: int | None = None,
                choice: tuple | None = None,
-               device=None, permute_rows: bool = False):
+               device=None, permute_rows: bool | None = None):
     """Resolve the best packed layout for ``csr``: a single
     :class:`WindowEllPlan` when it fits, else a :class:`BandedPlan` at
     the cost-model superblock before escalating to wider superblocks.
@@ -1559,6 +1573,8 @@ def build_auto(csr: CSRMatrix, split_rows: int | None = None,
     docs/PERF.md scatter table), so banding is tried FIRST at each
     level.
     """
+    if permute_rows is None:
+        permute_rows = _permute_default()
     start, groups_est = choice if choice is not None \
         else _choose_sup(csr, with_groups=True)
     err = None
