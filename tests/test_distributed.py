@@ -254,3 +254,74 @@ class TestRingSharded:
         rs = shard_csr_ring(csr, mesh)
         y = np.asarray(spmv_csr_ring(rs, x, mesh))
         assert spmv_matches(y, csr, x)
+
+
+class TestPackedShardingVariants:
+    """Pattern (no vals stream) and row-leveled shard plans through the
+    same stacked shard_map path."""
+
+    def test_permuted_shards_match_oracle(self, rng, n_devices):
+        from tpu_spmv.parallel import (make_row_mesh, shard_csr_packed,
+                                       spmv_csr_sharded_packed)
+
+        csr = rng.power_law_csr(2048, 1500, avg_nnz=9, alpha=1.6)
+        mesh = make_row_mesh(min(4, n_devices))
+        sp = shard_csr_packed(csr, mesh, permute_rows=True)
+        assert sp.has_lam
+        x = rng.vector(1500)
+        y = np.asarray(spmv_csr_sharded_packed(sp, x, mesh))
+        assert spmv_matches(y, csr, x, rel_tol=1e-5)
+
+    @staticmethod
+    def _transition(rng_np, n, m):
+        from tpu_spmv.csr import CSRMatrix
+
+        rows = rng_np.integers(0, n, m)
+        cols = rng_np.integers(0, n, m)
+        keep = rows != cols
+        rows, cols = rows[keep], cols[keep]
+        outdeg = np.bincount(cols, minlength=n)
+        vals = (1.0 / np.maximum(outdeg, 1)[cols]).astype(np.float32)
+        order = np.lexsort((cols, rows))
+        ptr = np.zeros(n + 1, np.int64)
+        np.cumsum(np.bincount(rows, minlength=n), out=ptr[1:])
+        return CSRMatrix(n, n, vals[order], cols[order].astype(np.int32),
+                         ptr.astype(np.int32))
+
+    def test_pattern_shards_match_oracle(self, rng, n_devices):
+        from tpu_spmv.parallel import (make_row_mesh, shard_csr_packed,
+                                       spmv_csr_sharded_packed)
+
+        A = self._transition(np.random.default_rng(5), 2048, 14000)
+        mesh = make_row_mesh(min(4, n_devices))
+        sp = shard_csr_packed(A, mesh, pattern=True)
+        assert sp.pat and sp.col_scale is not None
+        x = rng.vector(2048)
+        y = np.asarray(spmv_csr_sharded_packed(sp, x, mesh))
+        assert spmv_matches(y, A, x, rel_tol=1e-5)
+
+    def test_pattern_rejects_non_factorable(self, rng, n_devices):
+        from tpu_spmv.errors import InvalidFormatError
+        from tpu_spmv.parallel import make_row_mesh, shard_csr_packed
+
+        csr = rng.power_law_csr(512, 512, avg_nnz=6, alpha=1.6)
+        mesh = make_row_mesh(min(2, n_devices))
+        with pytest.raises(InvalidFormatError):
+            shard_csr_packed(csr, mesh, pattern=True)
+
+    def test_pagerank_sharded_pattern(self, rng, n_devices):
+        """Distributed PageRank over pattern+leveled shards converges to
+        the single-device ranks."""
+        from tpu_spmv import pagerank
+        from tpu_spmv.parallel import (make_row_mesh, pagerank_sharded,
+                                       shard_csr_packed)
+
+        A = self._transition(np.random.default_rng(8), 1500, 10000)
+        mask = find_dangling_mask(A)
+        mesh = make_row_mesh(min(4, n_devices))
+        sp = shard_csr_packed(A, mesh, pattern=True, permute_rows=True)
+        res_d = pagerank_sharded(sp, mask, mesh=mesh)
+        res_s = pagerank(A)
+        assert res_d.converged
+        assert res_d.iterations == res_s.iterations
+        assert np.abs(res_d.ranks_host() - res_s.ranks_host()).max() < 1e-6

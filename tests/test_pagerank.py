@@ -134,3 +134,79 @@ class TestResume:
         np.testing.assert_allclose(resumed.ranks_host(),
                                    straight.ranks_host(),
                                    rtol=1e-4, atol=1e-7)
+
+
+def _column_normalized(rng_np, n, m):
+    """A column-normalized transition matrix (values 1/outdeg[col])."""
+    import numpy as np
+
+    from tpu_spmv.csr import CSRMatrix
+
+    rows = rng_np.integers(0, n, m)
+    cols = rng_np.integers(0, n, m)
+    keep = rows != cols
+    rows, cols = rows[keep], cols[keep]
+    outdeg = np.bincount(cols, minlength=n)
+    vals = (1.0 / outdeg[cols]).astype(np.float32)
+    order = np.lexsort((cols, rows))
+    ptr = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(rows, minlength=n), out=ptr[1:])
+    return CSRMatrix(n, n, vals[order], cols[order].astype(np.int32),
+                     ptr.astype(np.int32))
+
+
+def test_column_scale_factor_detection():
+    import numpy as np
+
+    from tpu_spmv.pagerank import column_scale_factor
+
+    rng_np = np.random.default_rng(9)
+    A = _column_normalized(rng_np, 500, 4000)
+    s = column_scale_factor(A)
+    assert s is not None
+    np.testing.assert_array_equal(s[A.col_indices], A.values)
+    # breaking one value breaks the factorization
+    A.values[0] *= 2.0
+    if np.count_nonzero(A.col_indices == A.col_indices[0]) > 1:
+        assert column_scale_factor(A) is None
+
+
+def test_pagerank_pattern_path_matches_generic():
+    """The pattern fast path (no vals stream, x pre-scaled) converges to
+    the same ranks as the generic kernel path."""
+    import numpy as np
+
+    from tpu_spmv import pagerank
+    from tpu_spmv.pagerank import KernelType, PageRankConfig
+
+    rng_np = np.random.default_rng(3)
+    A = _column_normalized(rng_np, 2000, 16000)
+    r_pat = pagerank(A)
+    r_gen = pagerank(A, PageRankConfig(kernel_type=KernelType.SCALAR_CSR))
+    assert r_pat.converged and r_gen.converged
+    assert r_pat.iterations == r_gen.iterations
+    assert np.abs(r_pat.ranks_host() - r_gen.ranks_host()).max() < 1e-6
+
+
+def test_pagerank_non_factorable_matrix_still_works(rng):
+    """Row-scaled (not column-scaled) values defeat the pattern
+    detection; pagerank falls back to the generic dispatch."""
+    import numpy as np
+
+    from tpu_spmv import pagerank
+    from tpu_spmv.pagerank import column_scale_factor
+
+    n = 400
+    dense = np.abs(rng.dense_matrix(n, n, 0.02))
+    np.fill_diagonal(dense, 0.0)
+    # row-normalize: values vary within a column
+    rs = dense.sum(axis=1, keepdims=True)
+    dense = np.divide(dense, rs, out=np.zeros_like(dense), where=rs > 0)
+    from tpu_spmv import csr_from_dense
+
+    A = csr_from_dense(dense.astype(np.float32))
+    if A.nnz:
+        assert column_scale_factor(A) is None or np.unique(
+            A.col_indices).size == A.nnz
+    res = pagerank(A)
+    assert res.error_code == 0 and res.ranks is not None

@@ -161,3 +161,28 @@ def test_permuted_plan_roundtrip(tmp_path, rng):
     x = rng.vector(900)
     y = np.asarray(spmv_window_ell(loaded, x))
     assert spmv_matches(y, csr, x, rel_tol=1e-5)
+
+
+def test_pattern_plan_roundtrip(tmp_path, rng):
+    """Pattern plans persist without a vals entry and load back as
+    pattern plans; a file stripped of vals without the pat flag is
+    rejected."""
+    import numpy as np
+
+    from tpu_spmv.errors import InvalidFormatError
+    from tpu_spmv.kernels.window_ell import WindowEllPlan, spmv_window_ell
+    from tpu_spmv.utils.testing import spmv_matches
+    from tpu_spmv.csr import CSRMatrix
+
+    csr = rng.power_law_csr(1200, 800, avg_nnz=9.0, alpha=1.6)
+    plan = WindowEllPlan.build(csr, split_rows=128, pattern=True)
+    path = str(tmp_path / "pat.npz")
+    plan.save(path)
+    loaded = WindowEllPlan.load(path)
+    assert loaded.pat and loaded.vals is None
+    unit = CSRMatrix(csr.num_rows, csr.num_cols,
+                     np.ones(csr.nnz, np.float32),
+                     csr.col_indices, csr.row_ptrs)
+    x = rng.vector(800)
+    assert spmv_matches(np.asarray(spmv_window_ell(loaded, x)), unit, x,
+                        rel_tol=1e-5)

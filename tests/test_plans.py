@@ -225,3 +225,78 @@ def test_autotune_returns_correct_plan(rng):
     plan = WindowEllPlan.autotune(csr, x, widths=(8, 16), iters=4)
     y = np.asarray(spmv_window_ell(plan, x))
     assert spmv_matches(y, csr, x, rel_tol=1e-5)
+
+
+class TestPatternPlans:
+    """``build(pattern=True)``: implicit unit values, no f32 vals stream
+    (pad slots masked by the sentinel sub-block instead of zero values).
+    Semantics: ``y = B @ x`` for the 0/1 structure of the input."""
+
+    @staticmethod
+    def _unit(csr):
+        from tpu_spmv.csr import CSRMatrix
+
+        return CSRMatrix(csr.num_rows, csr.num_cols,
+                         np.ones(csr.nnz, np.float32),
+                         csr.col_indices, csr.row_ptrs)
+
+    def test_matches_unit_oracle_random(self, rng):
+        for _ in range(DEVICE_PROP_ITERS):
+            rows = rng.uniform_int(1, 250)
+            cols = rng.uniform_int(1, 250)
+            csr = csr_from_dense(rng.dense_matrix(rows, cols, 0.2))
+            plan = WindowEllPlan.build(csr, pattern=True)
+            assert plan.pat and plan.vals is None
+            x = rng.vector(cols)
+            y = np.asarray(spmv_window_ell(plan, x))
+            assert spmv_matches(y, self._unit(csr), x)
+
+    def test_sbn_sentinel_masks_pads(self, rng):
+        """Forced-narrow (nibble-packed) pattern plans: pad slots carry
+        sentinel nibble 15 and contribute nothing."""
+        csr = rng.power_law_csr(2048, 512, avg_nnz=25.0, alpha=1.6)
+        plan = WindowEllPlan.build(csr, split_rows=128, sup=1024,
+                                   pattern=True)
+        assert plan.sbn
+        x = rng.vector(512)
+        y = np.asarray(spmv_window_ell(plan, x))
+        assert spmv_matches(y, self._unit(csr), x, rel_tol=1e-5)
+
+    def test_pattern_with_row_leveling(self, rng):
+        csr = rng.power_law_csr(3000, 1500, avg_nnz=10.0, alpha=1.6)
+        plan = WindowEllPlan.build(csr, split_rows=128, pattern=True,
+                                   permute_rows=True)
+        assert plan.pat
+        x = rng.vector(1500)
+        y = np.asarray(spmv_window_ell(plan, x))
+        assert spmv_matches(y, self._unit(csr), x, rel_tol=1e-5)
+
+    def test_column_scaled_equivalence(self, rng):
+        """A = B·diag(s) runs as B @ (s*x) with identical per-slot
+        products — the PageRank fast-path identity."""
+        csr = rng.power_law_csr(1500, 1000, avg_nnz=8.0, alpha=1.6)
+        s = rng.vector(1000)
+        vals = np.asarray(csr.values)
+        vals[:] = s[np.asarray(csr.col_indices)]
+        plan_nat = WindowEllPlan.build(csr)
+        plan_pat = WindowEllPlan.build(csr, pattern=True)
+        x = rng.vector(1000)
+        y_nat = np.asarray(spmv_window_ell(plan_nat, x))
+        y_pat = np.asarray(spmv_window_ell(plan_pat, s * x))
+        scale = float(np.abs(y_nat).max()) or 1.0
+        np.testing.assert_allclose(y_pat, y_nat, rtol=1e-4,
+                                   atol=1e-5 * scale)
+
+    def test_empty_matrix_pattern(self):
+        csr = csr_from_dense(np.zeros((4, 4), np.float32))
+        plan = WindowEllPlan.build(csr, pattern=True)
+        y = np.asarray(spmv_window_ell(plan, np.ones(4, np.float32)))
+        np.testing.assert_array_equal(y, np.zeros(4, np.float32))
+
+    def test_stream_bytes_drop(self, rng):
+        """The whole point: a pattern plan streams no vals (4 B/slot)."""
+        csr = rng.power_law_csr(2048, 512, avg_nnz=25.0, alpha=1.6)
+        nat = WindowEllPlan.build(csr, sup=1024)
+        pat = WindowEllPlan.build(csr, sup=1024, pattern=True)
+        assert pat.n_groups == nat.n_groups
+        assert pat.stream_bytes < 0.45 * nat.stream_bytes

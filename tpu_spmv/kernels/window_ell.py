@@ -257,7 +257,12 @@ class WindowEllPlan:
     kernel's output block.
     """
 
-    vals: jax.Array          # f32 (n_groups_pad*8, 128)
+    vals: jax.Array          # f32 (n_groups_pad*8, 128); None for
+    #   PATTERN plans (``pat``): every stored nonzero is implicitly 1.0
+    #   and the vals stream is not uploaded or read at all — per-slot
+    #   stream drops 5.5 -> 1.5 B.  Pad slots, which zero values would
+    #   otherwise mask, carry the sentinel sub-block -1 instead (no
+    #   masked-sum target matches, so their gathered garbage is dropped)
     lo: jax.Array            # i8  (n_groups_pad*8, 128)  col % 128 per slot
     sb: jax.Array            # i8  (pos/128)%(sup/128) per slot; when
     #   ``sbn`` the stream is nibble-packed ACROSS GROUP PAIRS — groups
@@ -283,6 +288,7 @@ class WindowEllPlan:
     sup: int                 # rows per superblock (scatter targets = sup/128)
     occupancy: float
     sbn: bool = False        # sb stream nibble-packed across group pairs
+    pat: bool = False        # pattern plan: implicit unit values (see vals)
     lam: object = None       # i32 (ceil(rows/128), 128) per-tile source
     #   lane when the plan was built with ``permute_rows=True`` (rows
     #   leveled onto lanes within each superblock; the kernel output is
@@ -298,7 +304,7 @@ class WindowEllPlan:
         # report occupancy 0.0)
         aux = (self.num_rows, self.num_cols, self.extras_base, self.n_extra,
                self.e8, self.out8, self.cols_pad, self.step_groups,
-               self.split_rows, self.sup, 0.0, self.sbn)
+               self.split_rows, self.sup, 0.0, self.sbn, self.pat)
         return leaves, aux
 
     @classmethod
@@ -312,6 +318,19 @@ class WindowEllPlan:
     @property
     def n_steps(self) -> int:
         return int(self.blk_step.shape[0])
+
+    @property
+    def stream_bytes(self) -> float:
+        """Actual bytes one kernel invocation streams from HBM (packed
+        slot arrays + gather/output tables + the unpermute pass) — the
+        physics-guard denominator for benchmark readings."""
+        per_slot = (0.0 if self.pat else 4.0) + 1.0 \
+            + (0.5 if self.sbn else 1.0)
+        b = self.n_groups * CHUNKS * LANE * per_slot \
+            + (self.cols_pad + (self.e8 + self.out8) * LANE) * 4
+        if self.lam is not None:
+            b += int(np.prod(self.lam.shape)) * 12  # read y+lam, write y
+        return b
 
     def to_device(self, device) -> "WindowEllPlan":
         """Copy of the plan with every array leaf on ``device`` (host
@@ -378,8 +397,17 @@ class WindowEllPlan:
               cap_margin: float = 0.3, spill_rounds: int = 1,
               max_inflation: float = 64.0, sup: int | None = None,
               spill_beta: float | None = None, device=None,
-              permute_rows: bool = False) -> "WindowEllPlan":
+              permute_rows: bool = False,
+              pattern: bool = False) -> "WindowEllPlan":
         """Pack a host CSR matrix into the window-ELL layout (vectorized).
+
+        ``pattern=True`` builds a PATTERN plan: ``csr.values`` are
+        ignored, every stored nonzero acts as 1.0, and the f32 vals
+        stream is dropped entirely (5.5 → 1.5 B/slot streamed; pad
+        slots are masked by a sentinel sub-block instead of zero
+        values).  ``y = B @ x`` for the 0/1 structure B; callers with
+        column-scaled matrices ``A = B·diag(s)`` pre-scale x
+        (``A @ x = B @ (s*x)`` — same products, same fold order).
 
         ``sup=None`` picks the superblock height by the measured cost
         model (see :func:`_choose_sup`) and escalates to wider superblocks
@@ -401,7 +429,7 @@ class WindowEllPlan:
             return WindowEllPlan._build(
                 csr, split_rows, step_groups, slack, cap_margin,
                 spill_rounds, max_inflation, sup, spill_beta, device,
-                permute_rows)
+                permute_rows, pattern)
         start = _choose_sup(csr)
         err = None
         for s in SUP_LEVELS[SUP_LEVELS.index(start):]:
@@ -415,7 +443,7 @@ class WindowEllPlan:
                 return WindowEllPlan._build(
                     csr, split_rows, step_groups, slack, cap_margin,
                     spill_rounds, max_inflation, s, spill_beta, device,
-                    permute_rows)
+                    permute_rows, pattern)
             except WindowEllOverflow as e:
                 err = e
         raise err
@@ -423,7 +451,8 @@ class WindowEllPlan:
     @staticmethod
     def _build(csr: CSRMatrix, split_rows, step_groups, cap_slack,
                cap_margin, spill_rounds, max_inflation, sup, spill_beta,
-               device, permute_rows: bool = False) -> "WindowEllPlan":
+               device, permute_rows: bool = False,
+               pattern: bool = False) -> "WindowEllPlan":
         sup_rows = sup           # scalar superblock height; ``sup`` below
         del sup                  # is reused for per-nnz superblock ids
         if spill_beta is None:
@@ -598,7 +627,10 @@ class WindowEllPlan:
                 extra_to_row = np.concatenate([extra_to_row, su // big])
                 n_extra += len(su)
                 lane, sup, layer = derive(pos, w, c)
-        vals_src = csr.values
+        # pattern plans: every stored nonzero acts as 1.0 (values are a
+        # stream the kernel never reads); the combine/extras machinery
+        # already uses unit values
+        vals_src = np.ones(nnz, np.float32) if pattern else csr.values
         extras_sup0 = extras_base // sup_rows
         lvl2_sup0 = extras_sup0
         if n_extra:
@@ -833,8 +865,10 @@ class WindowEllPlan:
             raise err
         out8 = extras_base // LANE + e8
         cols8 = cols_pad // LANE
+        # double-buffered packed blocks: 6 B/slot (f32 vals + lo + sb),
+        # 2 B/slot for pattern plans (no vals stream)
         vmem_bytes = (cols8 + e8 + out8) * LANE * 4 \
-            + 2 * S * CHUNKS * LANE * 6
+            + 2 * S * CHUNKS * LANE * (2 if pattern else 6)
         if vmem_bytes > VMEM_BUDGET:
             err = WindowEllOverflow(
                 f"window-ELL working set {vmem_bytes} B exceeds the VMEM "
@@ -871,8 +905,16 @@ class WindowEllPlan:
         # 4 bits (narrow superblocks): groups 2t/2t+1 share one int8 vreg
         # (-0.5 B/slot; n_groups_pad is always even — S is a multiple
         # of 8).  The kernel unpacks with `& 15` on both nibbles, which
-        # is sign-extension-safe for sb values 8..15.
-        sbn = n_tb <= 16
+        # is sign-extension-safe for sb values 8..15.  Pattern plans
+        # reserve nibble 15 for the pad sentinel, so they need
+        # n_tb <= 15 (true at every standard SUP level that packs).
+        sbn = n_tb <= 16 and (not pattern or n_tb <= 15)
+        if pattern:
+            # pad slots have no zero value to mask their gathered
+            # garbage — give them a sub-block no masked-sum target
+            # matches (15 packs into either nibble; -1 on the int8
+            # stream).  All-real-1.0 values make vals==0 ⇔ pad.
+            sb[vals == 0] = 15 if sbn else -1
         if sbn:
             pairs = sb.reshape(n_groups_pad // 2, 2, CHUNKS, LANE)
             sb = (pairs[:, 0] | (pairs[:, 1] << 4)).reshape(-1, LANE)
@@ -883,7 +925,7 @@ class WindowEllPlan:
         put = (lambda a: jax.device_put(a, device)) if device is not None \
             else jax.device_put
         return WindowEllPlan(
-            vals=put(vals),
+            vals=None if pattern else put(vals),
             lo=put(lo),
             sb=put(sb),
             wg=put(wg_arr.astype(np.int32)),
@@ -903,6 +945,7 @@ class WindowEllPlan:
             sup=sup_rows,
             occupancy=float(nnz / slots) if slots else 0.0,
             sbn=sbn,
+            pat=pattern,
             lam=put(lam_arr) if lam_arr is not None else None,
         )
 
@@ -1003,12 +1046,22 @@ def _choose_sup(csr: CSRMatrix, with_groups: bool = False):
 @functools.lru_cache(maxsize=64)
 def _build_pallas(n_steps: int, S: int, out8: int, cols8: int, e8: int,
                   rows_sub: int, n_tb: int, interpret: bool,
-                  vma: frozenset | None = None, sbn: bool = False):
+                  vma: frozenset | None = None, sbn: bool = False,
+                  pat: bool = False):
     T = min(T_SUB, S)
     TB = min(T_BASE, T)
 
-    def kernel(wg_ref, base_ref, blk_ref, fin_ref, x_ref, v_ref, lo_ref,
-               sb_ref, o_ref):
+    def kernel(*refs):
+        if pat:
+            # pattern plans stream no values — nonzeros are implicit 1.0
+            # and pad slots carry the sentinel sub-block (no masked-sum
+            # target matches), see WindowEllPlan.vals
+            (wg_ref, base_ref, blk_ref, fin_ref, x_ref, lo_ref,
+             sb_ref, o_ref) = refs
+            v_ref = None
+        else:
+            (wg_ref, base_ref, blk_ref, fin_ref, x_ref, v_ref, lo_ref,
+             sb_ref, o_ref) = refs
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -1040,7 +1093,7 @@ def _build_pallas(n_steps: int, S: int, out8: int, cols8: int, e8: int,
             if not isinstance(q, int):   # fori path: alignment hint
                 qs = pl.multiple_of(qs, T * CHUNKS)
             lo_q = lo_ref[pl.ds(qs, T * CHUNKS), :].astype(jnp.int32)
-            v_q = v_ref[pl.ds(qs, T * CHUNKS), :]
+            v_q = None if pat else v_ref[pl.ds(qs, T * CHUNKS), :]
             # int32 for the target compares: v5e rejects i8 vector compares
             if sbn:
                 # nibble-packed sb: group pair 2t/2t+1 shares a vreg; the
@@ -1062,7 +1115,7 @@ def _build_pallas(n_steps: int, S: int, out8: int, cols8: int, e8: int,
                     pl.ds(pl.multiple_of(wdw * CHUNKS, CHUNKS), CHUNKS), :]
                 g = jnp.take_along_axis(table, lo_q[8 * t:8 * t + 8, :],
                                         axis=1)
-                prods.append(v_q[8 * t:8 * t + 8, :] * g)
+                prods.append(g if pat else v_q[8 * t:8 * t + 8, :] * g)
             prod = jnp.concatenate(prods, axis=0)
             # fold by target sub-block and add at the run's dynamic base:
             # one (n_tb,128) read-modify-write per T_BASE groups
@@ -1098,25 +1151,26 @@ def _build_pallas(n_steps: int, S: int, out8: int, cols8: int, e8: int,
                 jax.lax.fori_loop(0, S // T,
                                   lambda q, c: (body(q), c)[1], 0)
 
+    stream_spec = pl.BlockSpec((S * CHUNKS, LANE),
+                               lambda i, wg, base, blk, fin:
+                               (jnp.maximum(blk[i], 0), 0),
+                               memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((cols8 + e8, LANE), lambda i, *m: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if not pat:        # the f32 vals stream (absent on pattern plans)
+        in_specs.append(stream_spec)
+    in_specs.append(stream_spec)                       # lo
+    in_specs.append(
+        pl.BlockSpec((S * CHUNKS // 2 if sbn else S * CHUNKS, LANE),
+                     lambda i, wg, base, blk, fin:
+                     (jnp.maximum(blk[i], 0), 0),
+                     memory_space=pltpu.VMEM))         # sb
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(n_steps,),
-        in_specs=[
-            pl.BlockSpec((cols8 + e8, LANE), lambda i, *m: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((S * CHUNKS, LANE),
-                         lambda i, wg, base, blk, fin:
-                         (jnp.maximum(blk[i], 0), 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((S * CHUNKS, LANE),
-                         lambda i, wg, base, blk, fin:
-                         (jnp.maximum(blk[i], 0), 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((S * CHUNKS // 2 if sbn else S * CHUNKS, LANE),
-                         lambda i, wg, base, blk, fin:
-                         (jnp.maximum(blk[i], 0), 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((out8, LANE), lambda i, *m: (0, 0),
                                memory_space=pltpu.VMEM),
     )
@@ -1187,9 +1241,12 @@ def _spmv_window_ell(plan: WindowEllPlan, x: jax.Array,
     rows_sub = plan.extras_base // LANE
     fn = _build_pallas(plan.n_steps, plan.step_groups, plan.out8,
                        plan.cols_pad // LANE, plan.e8, rows_sub,
-                       plan.sup // LANE, _use_interpret(), vma, plan.sbn)
+                       plan.sup // LANE, _use_interpret(), vma, plan.sbn,
+                       plan.pat)
+    streams = (plan.lo, plan.sb) if plan.pat \
+        else (plan.vals, plan.lo, plan.sb)
     out = fn(plan.wg, plan.base, plan.blk_step, plan.fin_step, x2d,
-             plan.vals, plan.lo, plan.sb)
+             *streams)
     if plan.lam is not None:
         return _unpermute_tiles(out, plan.lam, plan.num_rows)
     return out.reshape(-1)[: plan.num_rows]
@@ -1465,7 +1522,8 @@ def build_banded(csr: CSRMatrix, sup: int, n_bands: int | None = None,
                  step_groups: int | None = None,
                  cap_slack: int | None = None,
                  spill_beta: float | None = None,
-                 device=None, permute_rows: bool = False) -> BandedPlan:
+                 device=None, permute_rows: bool = False,
+                 pattern: bool = False) -> BandedPlan:
     """Build a :class:`BandedPlan` at the given superblock height.
 
     ``n_bands=None`` sizes the bands adaptively: a first full-matrix
@@ -1483,7 +1541,7 @@ def build_banded(csr: CSRMatrix, sup: int, n_bands: int | None = None,
     """
     kw = dict(split_rows=split_rows, step_groups=step_groups,
               cap_slack=cap_slack, spill_beta=spill_beta, device=device,
-              permute_rows=permute_rows)
+              permute_rows=permute_rows, pattern=pattern)
     if n_bands is None:
         try:
             p = WindowEllPlan.build(csr, sup=sup, **kw)
@@ -1560,7 +1618,8 @@ def spmv_banded(bp: BandedPlan, x: jax.Array) -> jax.Array:
 def build_auto(csr: CSRMatrix, split_rows: int | None = None,
                step_groups: int | None = None,
                choice: tuple | None = None,
-               device=None, permute_rows: bool | None = None):
+               device=None, permute_rows: bool | None = None,
+               pattern: bool = False):
     """Resolve the best packed layout for ``csr``: a single
     :class:`WindowEllPlan` when it fits, else a :class:`BandedPlan` at
     the cost-model superblock before escalating to wider superblocks.
@@ -1601,13 +1660,13 @@ def build_auto(csr: CSRMatrix, split_rows: int | None = None,
                     csr, sup=s, n_bands=nb0, split_rows=split,
                     step_groups=step_groups, cap_slack=slack,
                     spill_beta=beta, device=device,
-                    permute_rows=permute_rows)
+                    permute_rows=permute_rows, pattern=pattern)
                 return (spmv_banded, bp) if len(bp.plans) > 1 \
                     else (spmv_window_ell, bp.plans[0])
             p = WindowEllPlan.build(
                 csr, split_rows=split, step_groups=step_groups,
                 cap_slack=slack, sup=s, spill_beta=beta, device=device,
-                permute_rows=permute_rows)
+                permute_rows=permute_rows, pattern=pattern)
             return spmv_window_ell, p
         except WindowEllOverflow as e:
             err = e
@@ -1625,7 +1684,7 @@ def build_auto(csr: CSRMatrix, split_rows: int | None = None,
                     csr, sup=s, n_bands=nb, split_rows=split,
                     step_groups=step_groups, cap_slack=slack,
                     spill_beta=beta, device=device,
-                    permute_rows=permute_rows)
+                    permute_rows=permute_rows, pattern=pattern)
                 return spmv_banded, bp
             except WindowEllOverflow as e2:
                 err = e2

@@ -741,82 +741,93 @@ void balance_row_tiles_i64(int64_t n_rows, const int64_t* row_ptr,
                            int64_t n_wc, int64_t sup_rows,
                            int64_t* out_lane) {
   if (n_rows <= 0) return;
+  // visitation order: per-tile descending content (default), or
+  // superblock-global descending (TPU_SPMV_TILE_GLOBAL=1) — heaviest
+  // rows of the WHOLE superblock claim lanes first, each still
+  // confined to its own tile's free lanes
+  const char* ge = std::getenv("TPU_SPMV_TILE_GLOBAL");
+  const bool global_order = ge && *ge && std::strcmp(ge, "0") != 0;
   std::vector<int32_t> depth(static_cast<size_t>(n_wc) * 128);
   std::vector<int32_t> bmax(static_cast<size_t>((n_wc + 7) / 8));
-  std::vector<int64_t> cwc, tmp;
+  std::vector<int64_t> cwc, tmp, ord;
   std::vector<int32_t> ck;
-  std::vector<int> order(128);
+  std::vector<uint64_t> used;
   for (int64_t sup0 = 0; sup0 < n_rows; sup0 += sup_rows) {
     std::fill(depth.begin(), depth.end(), 0);
     std::fill(bmax.begin(), bmax.end(), 0);
     const int64_t sup_end = std::min(n_rows, sup0 + sup_rows);
-    for (int64_t t0 = sup0; t0 < sup_end; t0 += 128) {
-      const int tl = static_cast<int>(std::min<int64_t>(128, sup_end - t0));
-      order.resize(tl);
-      for (int i = 0; i < tl; ++i) order[i] = i;
-      std::sort(order.begin(), order.end(), [&](int a, int b) {
-        int64_t la = row_ptr[t0 + a + 1] - row_ptr[t0 + a];
-        int64_t lb = row_ptr[t0 + b + 1] - row_ptr[t0 + b];
-        if (parts) {
-          la /= std::max<int64_t>(parts[t0 + a], 1);
-          lb /= std::max<int64_t>(parts[t0 + b], 1);
-        }
-        return la != lb ? la > lb : a < b;
-      });
-      uint64_t used[2] = {0, 0};
-      for (int oi = 0; oi < tl; ++oi) {
-        const int64_t r = t0 + order[oi];
-        tmp.assign(wc + row_ptr[r], wc + row_ptr[r + 1]);
-        std::sort(tmp.begin(), tmp.end());
-        cwc.clear();
-        ck.clear();
-        const int64_t pr = parts ? std::max<int64_t>(parts[r], 1) : 1;
-        for (size_t j = 0; j < tmp.size();) {
-          size_t j2 = j;
-          while (j2 < tmp.size() && tmp[j2] == tmp[j]) ++j2;
-          cwc.push_back(tmp[j]);
-          ck.push_back(static_cast<int32_t>(
-              (static_cast<int64_t>(j2 - j) + pr - 1) / pr));
-          j = j2;
-        }
-        int best_l = -1;
-        int64_t best_raises = INT64_MAX, best_sc = INT64_MAX;
-        for (int l = 0; l < tl; ++l) {
-          if ((used[l >> 6] >> (l & 63)) & 1) continue;
-          int64_t raises = 0, sc = 0;
-          int64_t curw = -1;
-          int32_t curmax = 0;
-          for (size_t j = 0; j < cwc.size(); ++j) {
-            const int64_t w2 = cwc[j] / 8;
-            if (w2 != curw) {
-              if (curw >= 0 && curmax > bmax[curw])
-                raises += curmax - bmax[curw];
-              curw = w2;
-              curmax = 0;
-            }
-            const int32_t d = depth[cwc[j] * 128 + l];
-            const int32_t nd = d + ck[j];
-            if (nd > curmax) curmax = nd;
-            sc += static_cast<int64_t>(nd) * nd
-                - static_cast<int64_t>(d) * d;
-          }
-          if (curw >= 0 && curmax > bmax[curw])
-            raises += curmax - bmax[curw];
-          if (raises < best_raises ||
-              (raises == best_raises && sc < best_sc)) {
-            best_raises = raises;
-            best_sc = sc;
-            best_l = l;
-          }
-        }
-        used[best_l >> 6] |= uint64_t{1} << (best_l & 63);
-        for (size_t j = 0; j < cwc.size(); ++j) {
-          const int32_t nd = (depth[cwc[j] * 128 + best_l] += ck[j]);
-          int32_t& m = bmax[cwc[j] / 8];
-          if (nd > m) m = nd;
-        }
-        out_lane[r] = best_l;
+    const int64_t n_tiles = (sup_end - sup0 + 127) / 128;
+    ord.resize(sup_end - sup0);
+    for (int64_t i = 0; i < sup_end - sup0; ++i) ord[i] = sup0 + i;
+    std::sort(ord.begin(), ord.end(), [&](int64_t a, int64_t b) {
+      if (!global_order) {
+        const int64_t ta = (a - sup0) / 128, tb = (b - sup0) / 128;
+        if (ta != tb) return ta < tb;
       }
+      int64_t la = row_ptr[a + 1] - row_ptr[a];
+      int64_t lb = row_ptr[b + 1] - row_ptr[b];
+      if (parts) {
+        la /= std::max<int64_t>(parts[a], 1);
+        lb /= std::max<int64_t>(parts[b], 1);
+      }
+      return la != lb ? la > lb : a < b;
+    });
+    used.assign(static_cast<size_t>(n_tiles) * 2, 0);
+    for (const int64_t r : ord) {
+      const int64_t tile = (r - sup0) / 128;
+      const int64_t t0 = sup0 + tile * 128;
+      const int tl = static_cast<int>(std::min<int64_t>(128, sup_end - t0));
+      uint64_t* tused = &used[tile * 2];
+      tmp.assign(wc + row_ptr[r], wc + row_ptr[r + 1]);
+      std::sort(tmp.begin(), tmp.end());
+      cwc.clear();
+      ck.clear();
+      const int64_t pr = parts ? std::max<int64_t>(parts[r], 1) : 1;
+      for (size_t j = 0; j < tmp.size();) {
+        size_t j2 = j;
+        while (j2 < tmp.size() && tmp[j2] == tmp[j]) ++j2;
+        cwc.push_back(tmp[j]);
+        ck.push_back(static_cast<int32_t>(
+            (static_cast<int64_t>(j2 - j) + pr - 1) / pr));
+        j = j2;
+      }
+      int best_l = -1;
+      int64_t best_raises = INT64_MAX, best_sc = INT64_MAX;
+      for (int l = 0; l < tl; ++l) {
+        if ((tused[l >> 6] >> (l & 63)) & 1) continue;
+        int64_t raises = 0, sc = 0;
+        int64_t curw = -1;
+        int32_t curmax = 0;
+        for (size_t j = 0; j < cwc.size(); ++j) {
+          const int64_t w2 = cwc[j] / 8;
+          if (w2 != curw) {
+            if (curw >= 0 && curmax > bmax[curw])
+              raises += curmax - bmax[curw];
+            curw = w2;
+            curmax = 0;
+          }
+          const int32_t d = depth[cwc[j] * 128 + l];
+          const int32_t nd = d + ck[j];
+          if (nd > curmax) curmax = nd;
+          sc += static_cast<int64_t>(nd) * nd
+              - static_cast<int64_t>(d) * d;
+        }
+        if (curw >= 0 && curmax > bmax[curw])
+          raises += curmax - bmax[curw];
+        if (raises < best_raises ||
+            (raises == best_raises && sc < best_sc)) {
+          best_raises = raises;
+          best_sc = sc;
+          best_l = l;
+        }
+      }
+      tused[best_l >> 6] |= uint64_t{1} << (best_l & 63);
+      for (size_t j = 0; j < cwc.size(); ++j) {
+        const int32_t nd = (depth[cwc[j] * 128 + best_l] += ck[j]);
+        int32_t& m = bmax[cwc[j] / 8];
+        if (nd > m) m = nd;
+      }
+      out_lane[r] = best_l;
     }
   }
 }

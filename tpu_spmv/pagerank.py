@@ -81,6 +81,35 @@ def find_dangling_mask(adj: CSRMatrix) -> np.ndarray:
     return (col_sums == 0.0).astype(np.float32)
 
 
+def column_scale_factor(adj: CSRMatrix) -> np.ndarray | None:
+    """Per-column scale ``s`` when ``A = B·diag(s)`` for a 0/1 pattern
+    ``B`` (every stored value in a column identical) — exactly the shape
+    of a column-normalized transition matrix, whose values are
+    ``1/outdeg(col)``.  Such matrices run on a PATTERN plan with x
+    pre-scaled: ``A @ x = B @ (s*x)``, same per-slot products and fold
+    order, but the kernel streams no f32 values (5.5 → 1.5 B/slot).
+    Returns ``None`` when the factorization does not hold exactly."""
+    if adj.nnz == 0:
+        return np.zeros(adj.num_cols, np.float32)
+    scale = np.zeros(adj.num_cols, np.float32)
+    scale[adj.col_indices] = adj.values       # last value per column
+    if not np.array_equal(adj.values, scale[adj.col_indices]):
+        return None
+    return scale
+
+
+def _pattern_spmv_single(plan, scale, x):
+    from .kernels.window_ell import spmv_window_ell
+
+    return spmv_window_ell(plan, scale * x)
+
+
+def _pattern_spmv_banded(plan, scale, x):
+    from .kernels.window_ell import spmv_banded
+
+    return spmv_banded(plan, scale * x)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("n", "max_iterations", "kernel_fn"))
 def _pagerank_loop(kernel_fn_args, mask, r0, *, n: int, damping: float,
@@ -136,12 +165,33 @@ def pagerank(adj_matrix: CSRMatrix | None,
         result.ranks = jnp.zeros((0,), jnp.float32)
         return result
 
-    try:
-        fn, args = _resolve_csr_kernel(
-            adj_matrix, KernelType(config.kernel_type), SpMVConfig())
-    except WindowEllOverflow:
-        fn, args = _resolve_csr_kernel(
-            adj_matrix, KernelType.SCALAR_CSR, SpMVConfig())
+    # transition matrices factor as B·diag(1/outdeg) — run the pattern
+    # plan over pre-scaled ranks (no f32 vals stream, 5.5 → 1.5 B/slot
+    # per iteration); fall through to the generic dispatch when the
+    # structure is not column-scaled or the packed layout rejects it
+    import os
+
+    fn = args = None
+    if config.kernel_type != KernelType.SCALAR_CSR \
+            and not os.environ.get("TPU_SPMV_NO_PATTERN"):
+        scale = column_scale_factor(adj_matrix)
+        if scale is not None:
+            from .kernels.window_ell import build_auto, spmv_banded
+            try:
+                kfn, plan = build_auto(adj_matrix, split_rows=128,
+                                       pattern=True)
+                fn = _pattern_spmv_banded if kfn is spmv_banded \
+                    else _pattern_spmv_single
+                args = (plan, jnp.asarray(scale))
+            except WindowEllOverflow:
+                pass
+    if fn is None:
+        try:
+            fn, args = _resolve_csr_kernel(
+                adj_matrix, KernelType(config.kernel_type), SpMVConfig())
+        except WindowEllOverflow:
+            fn, args = _resolve_csr_kernel(
+                adj_matrix, KernelType.SCALAR_CSR, SpMVConfig())
 
     mask = jnp.asarray(find_dangling_mask(adj_matrix)[:n])
     if initial_ranks is not None:

@@ -275,10 +275,13 @@ def pagerank_sharded(sharded, dangling_mask,
         return result
     bounds, rps = sharded.bounds, sharded.rows_per_shard
     if packed:
-        packed_fn = _sharded_packed_fn(mesh, axis_name, sharded.plan_aux)
-        spmv_args = sharded.leaves
-        spmv = lambda r, args: _stitch_rows(packed_fn(r, *args),
-                                            bounds, rps)[:n]
+        packed_fn = _sharded_packed_fn(mesh, axis_name, sharded.plan_aux,
+                                       sharded.has_lam)
+        scale = sharded.col_scale   # pattern shardings pre-scale ranks
+        spmv_args = sharded.stacked_leaves
+        spmv = lambda r, args: _stitch_rows(
+            packed_fn(r if scale is None else r * scale, *args),
+            bounds, rps)[:n]
     else:
         flat_fn = _sharded_spmv_fn(mesh, axis_name, sharded.rows_per_shard)
         spmv_args = (sharded.values, sharded.col_indices, sharded.row_ids)
@@ -351,7 +354,10 @@ class ShardedWindowEll:
     degraded flat path.
     """
 
-    leaves: tuple            # stacked per-shard plan leaves
+    leaves: tuple            # stacked per-shard plan leaves; PATTERN
+    #   shardings (plan_aux pat flag) append one replicated leaf: the
+    #   per-column scale s of A = B·diag(s), applied to x before the
+    #   kernels (the plans themselves stream no f32 values)
     plan_aux: tuple          # common WindowEllPlan aux data
     num_rows: int
     num_cols: int
@@ -377,6 +383,25 @@ class ShardedWindowEll:
     def n_shards(self) -> int:
         return int(self.leaves[0].shape[0])
 
+    @property
+    def pat(self) -> bool:
+        return bool(self.plan_aux[-1])
+
+    @property
+    def col_scale(self):
+        """Replicated per-column scale for pattern shardings, else None."""
+        return self.leaves[-1] if self.pat else None
+
+    @property
+    def stacked_leaves(self) -> tuple:
+        """The per-shard stacked plan leaves (scale leaf excluded)."""
+        return self.leaves[:-1] if self.pat else self.leaves
+
+    @property
+    def has_lam(self) -> bool:
+        """True when shard plans carry the row-leveling inverse leaf."""
+        return len(self.stacked_leaves) > (7 if self.pat else 8)
+
 
 def _stack_plans(plans, rps: int, num_cols: int):
     """Pad a list of WindowEllPlans to common leaf shapes (no-op
@@ -390,10 +415,13 @@ def _stack_plans(plans, rps: int, num_cols: int):
     e8 = max(p.e8 for p in plans)
     out8 = max(p.out8 for p in plans)
     n_steps = max(p.n_steps for p in plans)
-    n_grows = max(int(p.vals.shape[0]) for p in plans)
+    n_grows = max(int(p.lo.shape[0]) for p in plans)  # vals None when pat
     n_sbrows = max(int(p.sb.shape[0]) for p in plans)  # halved when sbn
     n_wg = max(int(p.wg.shape[0]) for p in plans)
     n_extra = max(p.n_extra for p in plans)
+    # the stacked frame requires a uniform leaf SET across shards
+    assert all(p.pat == plans[0].pat for p in plans)
+    assert all((p.lam is None) == (plans[0].lam is None) for p in plans)
 
     def pad_plan(p):
         def pad2(a, n):  # zero-pad rows of (G8, 128) arrays
@@ -406,7 +434,6 @@ def _stack_plans(plans, rps: int, num_cols: int):
                 return a
             return np.concatenate([a, np.full(n - len(a), fill, a.dtype)])
 
-        vals = pad2(p.vals, n_grows)
         lo = pad2(p.lo, n_grows)
         sb = pad2(p.sb, n_sbrows)
         wg = pad1(p.wg, n_wg, 0)
@@ -415,24 +442,49 @@ def _stack_plans(plans, rps: int, num_cols: int):
         fin = pad1(p.fin_step, n_steps, 0)
         e2r = np.zeros(max(n_extra, 1), np.int32)
         e2r[: p.n_extra] = np.asarray(p.extra_to_row)
-        return (vals, lo, sb, wg, base, blk, fin, e2r)
+        out = () if p.pat else (pad2(p.vals, n_grows),)
+        out += (lo, sb, wg, base, blk, fin, e2r)
+        if p.lam is not None:   # identical shapes: every shard is rps tall
+            out += (np.asarray(p.lam),)
+        return out
 
     stacked = [np.stack(arrs)
                for arrs in zip(*(pad_plan(p) for p in plans))]
     p0 = plans[0]
     plan_aux = (rps, num_cols, p0.extras_base, n_extra, e8, out8,
                 p0.cols_pad, p0.step_groups, p0.split_rows, p0.sup, 0.0,
-                p0.sbn)
+                p0.sbn, p0.pat)
     return stacked, plan_aux
 
 
 def shard_csr_packed(A: CSRMatrix, mesh: Mesh, axis_name: str = "rows",
-                     split_rows: int | None = 128) -> ShardedWindowEll:
+                     split_rows: int | None = 128,
+                     pattern: bool = False,
+                     permute_rows: bool = False) -> ShardedWindowEll:
     """Partition rows over ``mesh`` and pack each block with the window-ELL
     planner.  Raises :class:`WindowEllOverflow` (propagated) if any shard's
     structure rejects the packed layout — callers fall back to
-    :func:`shard_csr` + the flat path."""
+    :func:`shard_csr` + the flat path.
+
+    ``pattern=True`` requires ``A = B·diag(s)`` (every column's stored
+    values identical — :func:`tpu_spmv.pagerank.column_scale_factor`);
+    shard plans then stream no f32 values and the replicated scale rides
+    the sharding, applied to x before the kernels.  ``permute_rows``
+    levels each shard's rows onto lanes (the per-shard inverse runs
+    inside the local kernel dispatch, so stitching is unchanged)."""
     from ..kernels.window_ell import WindowEllPlan, _choose_sup
+
+    col_scale = None
+    if pattern:
+        from ..pagerank import column_scale_factor
+
+        col_scale = column_scale_factor(A)
+        if col_scale is None:
+            from ..errors import InvalidFormatError
+
+            raise InvalidFormatError(
+                "shard_csr_packed(pattern=True): matrix values are not "
+                "column-scaled (A = B*diag(s) does not hold)")
 
     n_shards = int(mesh.shape[axis_name])
     rows = A.num_rows
@@ -452,7 +504,8 @@ def shard_csr_packed(A: CSRMatrix, mesh: Mesh, axis_name: str = "rows",
         sub = CSRMatrix(rps, A.num_cols, A.values[lo:hi],
                         A.col_indices[lo:hi], local_ptr)
         plans.append(WindowEllPlan.build(sub, split_rows=split_rows,
-                                         sup=sup))
+                                         sup=sup, pattern=pattern,
+                                         permute_rows=permute_rows))
 
     stacked, plan_aux = _stack_plans(plans, rps, A.num_cols)
     leaves = tuple(
@@ -460,6 +513,9 @@ def shard_csr_packed(A: CSRMatrix, mesh: Mesh, axis_name: str = "rows",
                        NamedSharding(mesh, P(axis_name,
                                              *([None] * (a.ndim - 1)))))
         for a in stacked)
+    if pattern:
+        leaves += (jax.device_put(jnp.asarray(col_scale),
+                                  NamedSharding(mesh, P())),)
     shard_nnz = ptr[bounds[1:]] - ptr[bounds[:-1]]
     return ShardedWindowEll(leaves=leaves, plan_aux=plan_aux,
                             num_rows=rows, num_cols=A.num_cols, nnz=A.nnz,
@@ -469,7 +525,8 @@ def shard_csr_packed(A: CSRMatrix, mesh: Mesh, axis_name: str = "rows",
 
 
 @functools.lru_cache(maxsize=32)
-def _sharded_packed_fn(mesh: Mesh, axis_name: str, plan_aux: tuple):
+def _sharded_packed_fn(mesh: Mesh, axis_name: str, plan_aux: tuple,
+                       has_lam: bool = False):
     from ..kernels.window_ell import WindowEllPlan, _spmv_window_ell, \
         _use_interpret
 
@@ -481,19 +538,23 @@ def _sharded_packed_fn(mesh: Mesh, axis_name: str, plan_aux: tuple):
     # the mixed-vma arithmetic (verified on jax 0.9).
     interp = _use_interpret()
     vma = None if interp else frozenset({axis_name})
+    pat = bool(plan_aux[-1])
+    # plan children order: (vals, lo, sb, wg, base, blk, fin, e2r, lam);
+    # the stacked frame omits vals for pattern plans and appends lam for
+    # leveled ones
+    n_leaves = 8 - (1 if pat else 0) + (1 if has_lam else 0)
 
     def local(x, *leaves):
-        # + (None,): lam (the permute_rows inverse) is the 9th plan
-        # child; stacked shard plans are always built in natural order
-        plan = WindowEllPlan.tree_unflatten(
-            plan_aux, tuple(a[0] for a in leaves) + (None,))
+        ls = [a[0] for a in leaves]
+        lam = ls.pop() if has_lam else None
+        children = ([None] if pat else [ls.pop(0)]) + ls + [lam]
+        plan = WindowEllPlan.tree_unflatten(plan_aux, tuple(children))
         if vma is not None:
             # promote the replicated x to varying so every pallas operand
             # carries the same manual axes
             x = jax.lax.pvary(x, axis_name)
         return _spmv_window_ell(plan, x, vma=vma)
 
-    n_leaves = 8  # WindowEllPlan has 8 array leaves
     mapped = shard_map(
         local,
         mesh=mesh,
@@ -508,12 +569,15 @@ def spmv_csr_sharded_packed(sp: ShardedWindowEll, x,
                             mesh: Mesh | None = None,
                             axis_name: str = "rows") -> jax.Array:
     """``y = A @ x`` with each row shard running the packed Pallas kernel;
-    ``x`` replicated.  Returns the row-sharded ``(num_rows,)`` result."""
+    ``x`` replicated.  Returns the row-sharded ``(num_rows,)`` result.
+    Pattern shardings pre-scale x by the replicated column scale."""
     x = jnp.asarray(x, jnp.float32)
+    if sp.col_scale is not None:
+        x = x * sp.col_scale
     if mesh is None:
         mesh = sp.leaves[0].sharding.mesh
-    fn = _sharded_packed_fn(mesh, axis_name, sp.plan_aux)
-    y = fn(x, *sp.leaves)
+    fn = _sharded_packed_fn(mesh, axis_name, sp.plan_aux, sp.has_lam)
+    y = fn(x, *sp.stacked_leaves)
     return _stitch_rows(y, sp.bounds, sp.rows_per_shard)
 
 

@@ -29,13 +29,16 @@ _WINDOW_LEAVES = ("vals", "lo", "sb", "wg", "base", "blk_step", "fin_step",
                   "extra_to_row")
 _WINDOW_AUX = ("num_rows", "num_cols", "extras_base", "n_extra", "e8",
                "out8", "cols_pad", "step_groups", "split_rows", "sup",
-               "sbn")
+               "sbn", "pat")
 _CSR_LEAVES = ("values", "col_indices", "row_ptrs", "row_ids")
 
 
 def _window_entry(plan, prefix: str, arrays: dict, meta: dict) -> None:
     for name in _WINDOW_LEAVES:
-        arrays[prefix + name] = np.asarray(getattr(plan, name))
+        a = getattr(plan, name)
+        if a is None:       # vals is absent on pattern plans
+            continue
+        arrays[prefix + name] = np.asarray(a)
     if plan.lam is not None:  # optional leaf: permute_rows plans only
         arrays[prefix + "lam"] = np.asarray(plan.lam)
     meta[prefix + "aux"] = {k: getattr(plan, k) for k in _WINDOW_AUX}
@@ -46,9 +49,15 @@ def _window_from(prefix: str, z, meta: dict, put):
     from .kernels.window_ell import WindowEllPlan
 
     aux = meta[prefix + "aux"]
-    leaves = {n: put(jnp.asarray(z[prefix + n])) for n in _WINDOW_LEAVES}
+    names = getattr(z, "files", z)
+    leaves = {n: put(jnp.asarray(z[prefix + n]))
+              if prefix + n in names else None
+              for n in _WINDOW_LEAVES}
+    if leaves["vals"] is None and not aux.get("pat"):
+        raise InvalidFormatError(
+            "plan file lacks the vals stream but is not a pattern plan")
     lam = put(jnp.asarray(z[prefix + "lam"])) \
-        if prefix + "lam" in getattr(z, "files", z) else None
+        if prefix + "lam" in names else None
     return WindowEllPlan(**leaves, **aux, lam=lam,
                          occupancy=float(meta.get(prefix + "occupancy", 0.0)))
 
