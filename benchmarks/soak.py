@@ -99,6 +99,11 @@ def main(argv=None):
         cols = int(r.integers(1, 30000))
         csr = make_matrix(r, kind, rows, cols)
         x = r.uniform(-2, 2, cols).astype(np.float32)
+        # half the trials run the packed paths with row→lane leveling
+        # (the env default applies at plan-build; set it before the
+        # first dispatch on this matrix so its plan cache is coherent)
+        perm = bool(r.integers(0, 2))
+        os.environ["TPU_SPMV_PERMUTE_ROWS"] = "1" if perm else "0"
         for kt in (KernelType.SCALAR_CSR, KernelType.VECTOR_CSR,
                    KernelType.MERGE_PATH):
             res = spmv_csr(csr, x, SpMVConfig(kernel_type=kt))
@@ -107,8 +112,22 @@ def main(argv=None):
             if not ok:
                 fails += 1
                 print(f"FAIL trial={trial} kind={kind} {rows}x{cols} "
-                      f"nnz={csr.nnz} kernel={kt.name} "
+                      f"nnz={csr.nnz} kernel={kt.name} perm={perm} "
                       f"err={res.error_code}", flush=True)
+        # the pattern fast path: a column-scaled twin of this structure
+        # through SpMVConfig(pattern=True)
+        from tpu_spmv.csr import CSRMatrix
+
+        s = r.uniform(0.5, 2.0, cols).astype(np.float32)
+        pat = CSRMatrix(rows, cols, s[csr.col_indices], csr.col_indices,
+                        csr.row_ptrs)
+        res = spmv_csr(pat, x, SpMVConfig(
+            kernel_type=KernelType.MERGE_PATH, pattern=True))
+        if not (res.error_code == 0 and spmv_matches(
+                np.asarray(res.y), pat, x, rel_tol=1e-4)):
+            fails += 1
+            print(f"FAIL(pattern) trial={trial} kind={kind} "
+                  f"{rows}x{cols} err={res.error_code}", flush=True)
         if csr.nnz and csr.compute_stats().max_nnz_per_row <= 64 \
                 and rows * csr.compute_stats().max_nnz_per_row < 2_000_000:
             ell = ELLMatrix.from_csr(csr)
@@ -121,7 +140,7 @@ def main(argv=None):
         if trial % 10 == 9:
             print(f"  {trial + 1}/{args.trials} trials, {fails} failures, "
                   f"{time.time() - t0:.0f}s", flush=True)
-    print(f"soak: {args.trials} trials x 3-4 paths, {fails} failures, "
+    print(f"soak: {args.trials} trials x 4-5 paths, {fails} failures, "
           f"{time.time() - t0:.0f}s")
     return 1 if fails else 0
 

@@ -170,3 +170,52 @@ class TestEdgeCases:
         assert res.gflops >= 0.0
         assert res.bandwidth is not None
         assert 0.0 <= res.bandwidth.efficiency <= 1.0
+
+
+class TestPatternDispatch:
+    """SpMVConfig.pattern routes column-scaled matrices through PATTERN
+    plans (no f32 vals stream) and degrades silently otherwise."""
+
+    @staticmethod
+    def _transition(n, m, seed):
+        from tpu_spmv.csr import CSRMatrix
+
+        g = np.random.default_rng(seed)
+        rows = g.integers(0, n, m)
+        cols = g.integers(0, n, m)
+        keep = rows != cols
+        rows, cols = rows[keep], cols[keep]
+        outdeg = np.bincount(cols, minlength=n)
+        vals = (1.0 / np.maximum(outdeg, 1)[cols]).astype(np.float32)
+        order = np.lexsort((cols, rows))
+        ptr = np.zeros(n + 1, np.int64)
+        np.cumsum(np.bincount(rows, minlength=n), out=ptr[1:])
+        return CSRMatrix(n, n, vals[order], cols[order].astype(np.int32),
+                         ptr.astype(np.int32))
+
+    def test_factorable_matches_oracle(self, rng):
+        from tpu_spmv.kernels.window_ell import spmv_pattern, \
+            spmv_pattern_banded
+        from tpu_spmv.spmv import _resolve_csr_kernel
+
+        A = self._transition(1500, 12000, seed=4)
+        x = rng.vector(1500)
+        cfg = SpMVConfig(kernel_type=KernelType.MERGE_PATH, pattern=True)
+        fn, args = _resolve_csr_kernel(A, KernelType.MERGE_PATH, cfg)
+        assert fn in (spmv_pattern, spmv_pattern_banded)
+        assert args[0].pat if fn is spmv_pattern \
+            else all(p.pat for p in args[0].plans)
+        res = spmv_csr(A, x, cfg)
+        assert res.error_code == 0
+        assert spmv_matches(res.y_host(), A, x, rel_tol=1e-5)
+
+    def test_non_factorable_degrades_to_generic(self, rng):
+        csr = csr_from_dense(rng.dense_matrix(300, 300, 0.05))
+        x = rng.vector(300)
+        res_p = spmv_csr(csr, x,
+                         SpMVConfig(kernel_type=KernelType.MERGE_PATH,
+                                    pattern=True))
+        res_g = spmv_csr(csr, x,
+                         SpMVConfig(kernel_type=KernelType.MERGE_PATH))
+        assert res_p.error_code == 0
+        np.testing.assert_array_equal(res_p.y_host(), res_g.y_host())

@@ -240,7 +240,11 @@ class TestBandedPlans:
         m = norm_graph()
         res = pagerank(m, PageRankConfig(max_iterations=12, tolerance=0.0))
         assert res.error_code == 0
-        key = [k for k in m._plan_cache if k != "_sup"][0]
+        # the generic packed-plan entries are (kernel_type, step) tuples;
+        # skip the scalar string keys ("_sup", "_cscale") and any pattern
+        # entries (("pat", ...))
+        key = [k for k in m._plan_cache
+               if isinstance(k, tuple) and k[0] != "pat"][0]
         assert m._plan_cache[key][1].__class__.__name__ == "BandedPlan"
         ranks = np.asarray(res.ranks)
         assert np.isfinite(ranks).all()

@@ -1260,6 +1260,21 @@ def spmv_window_ell(plan: WindowEllPlan, x: jax.Array) -> jax.Array:
     return _spmv_window_ell(plan, x)
 
 
+def spmv_pattern(plan: WindowEllPlan, scale: jax.Array,
+                 x: jax.Array) -> jax.Array:
+    """``y = (B·diag(scale)) @ x`` over a PATTERN plan of B: the column
+    scale folds into x (one fused elementwise multiply), the kernel
+    streams no values.  Same per-slot products and fold order as the
+    equivalent natural plan."""
+    return spmv_window_ell(plan, scale * x)
+
+
+def spmv_pattern_banded(plan: "BandedPlan", scale: jax.Array,
+                        x: jax.Array) -> jax.Array:
+    """Banded form of :func:`spmv_pattern`."""
+    return spmv_banded(plan, scale * x)
+
+
 # ---- composite plans: cap-and-respill across levels (wide matrices) ----
 
 @jax.tree_util.register_pytree_node_class

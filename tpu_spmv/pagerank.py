@@ -98,16 +98,6 @@ def column_scale_factor(adj: CSRMatrix) -> np.ndarray | None:
     return scale
 
 
-def _pattern_spmv_single(plan, scale, x):
-    from .kernels.window_ell import spmv_window_ell
-
-    return spmv_window_ell(plan, scale * x)
-
-
-def _pattern_spmv_banded(plan, scale, x):
-    from .kernels.window_ell import spmv_banded
-
-    return spmv_banded(plan, scale * x)
 
 
 @functools.partial(jax.jit,
@@ -165,33 +155,18 @@ def pagerank(adj_matrix: CSRMatrix | None,
         result.ranks = jnp.zeros((0,), jnp.float32)
         return result
 
-    # transition matrices factor as B·diag(1/outdeg) — run the pattern
+    # transition matrices factor as B·diag(1/outdeg) — SpMVConfig
+    # pattern=True makes the dispatch run the iteration on a pattern
     # plan over pre-scaled ranks (no f32 vals stream, 5.5 → 1.5 B/slot
-    # per iteration); fall through to the generic dispatch when the
-    # structure is not column-scaled or the packed layout rejects it
-    import os
-
-    fn = args = None
-    if config.kernel_type != KernelType.SCALAR_CSR \
-            and not os.environ.get("TPU_SPMV_NO_PATTERN"):
-        scale = column_scale_factor(adj_matrix)
-        if scale is not None:
-            from .kernels.window_ell import build_auto, spmv_banded
-            try:
-                kfn, plan = build_auto(adj_matrix, split_rows=128,
-                                       pattern=True)
-                fn = _pattern_spmv_banded if kfn is spmv_banded \
-                    else _pattern_spmv_single
-                args = (plan, jnp.asarray(scale))
-            except WindowEllOverflow:
-                pass
-    if fn is None:
-        try:
-            fn, args = _resolve_csr_kernel(
-                adj_matrix, KernelType(config.kernel_type), SpMVConfig())
-        except WindowEllOverflow:
-            fn, args = _resolve_csr_kernel(
-                adj_matrix, KernelType.SCALAR_CSR, SpMVConfig())
+    # per iteration), falling back silently when the structure is not
+    # column-scaled or the packed layout rejects it
+    try:
+        fn, args = _resolve_csr_kernel(
+            adj_matrix, KernelType(config.kernel_type),
+            SpMVConfig(pattern=True))
+    except WindowEllOverflow:
+        fn, args = _resolve_csr_kernel(
+            adj_matrix, KernelType.SCALAR_CSR, SpMVConfig())
 
     mask = jnp.asarray(find_dangling_mask(adj_matrix)[:n])
     if initial_ranks is not None:

@@ -82,6 +82,13 @@ class SpMVConfig:
     # (spmv_kernels.cu:14-39); on TPU the cached-x path is always
     # profitable when it fits, so the default inverts to True.
     use_vmem_x: bool = True
+    # TPU-native knob (no reference counterpart): when the matrix values
+    # factor as A = B·diag(s) (every column's stored values identical —
+    # e.g. a column-normalized transition matrix), route the packed path
+    # through a PATTERN plan of B with s folded into x — the kernel
+    # streams no f32 values (5.5 → 1.5 B/slot).  Falls back silently to
+    # the generic packed path when the factorization does not hold.
+    pattern: bool = False
 
     @property
     def step_groups(self) -> int | None:
@@ -251,11 +258,50 @@ def _resolve_csr_kernel(A: CSRMatrix, kernel_type: KernelType,
     """Pick the jitted kernel callable + its bound matrix argument."""
     if kernel_type in (KernelType.VECTOR_CSR, KernelType.MERGE_PATH) \
             and config.use_vmem_x and A.num_cols <= PACKED_MAX_COLS:
+        if config.pattern:
+            resolved = _resolve_pattern(A, kernel_type, config)
+            if resolved is not None:
+                return resolved
         fn, plan = _plan_for(A, kernel_type, config.step_groups)
         return fn, (plan,)
     # SCALAR_CSR, ELL_KERNEL-on-CSR, use_vmem_x opt-out, or cols too
     # large for VMEM residency
     return _scalar_entry, (A.to_device(),)
+
+
+def _resolve_pattern(A: CSRMatrix, kernel_type: KernelType,
+                     config: SpMVConfig):
+    """The pattern fast path (``SpMVConfig.pattern``): a PATTERN plan of
+    the 0/1 structure plus the factored-out column scale.  Returns None
+    (→ generic packed path) when the values are not column-scaled, the
+    pattern plan overflows, or ``TPU_SPMV_NO_PATTERN`` is set."""
+    import os
+
+    from .kernels.window_ell import (build_auto, spmv_banded,
+                                     spmv_pattern, spmv_pattern_banded)
+    from .pagerank import column_scale_factor
+
+    if os.environ.get("TPU_SPMV_NO_PATTERN"):
+        return None
+    if "_cscale" not in A._plan_cache:
+        A._plan_cache["_cscale"] = column_scale_factor(A)
+    scale = A._plan_cache["_cscale"]
+    if scale is None or A.num_cols > VMEM_X_MAX_COLS:
+        return None
+    key = ("pat", int(kernel_type), config.step_groups)
+    if key not in A._plan_cache:
+        split = MERGE_SPLIT_ROWS if kernel_type == KernelType.MERGE_PATH \
+            else None
+        try:
+            fn, plan = build_auto(A, step_groups=config.step_groups,
+                                  split_rows=split, pattern=True)
+        except WindowEllOverflow:
+            A._plan_cache[key] = None   # remember the rejection
+            return None
+        wrapper = spmv_pattern_banded if fn is spmv_banded \
+            else spmv_pattern
+        A._plan_cache[key] = (wrapper, (plan, jnp.asarray(scale)))
+    return A._plan_cache[key]
 
 
 def _cols_pad(dev: DeviceCSR) -> int:
