@@ -28,3 +28,18 @@ def test_annotate_and_trace_contexts(tmp_path):
         pass
     with profiling.trace(str(tmp_path / "trace")):
         jnp.ones((8,)).sum().block_until_ready()
+
+
+def test_roofline_report_shapes(rng):
+    """roofline_report works across plan kinds and reports consistent
+    byte accounting (pattern plans stream strictly less)."""
+    from tpu_spmv.kernels.window_ell import WindowEllPlan
+    from tpu_spmv.profiling import roofline_report
+
+    csr = rng.power_law_csr(2000, 1000, avg_nnz=10.0, alpha=1.6)
+    nat = roofline_report(WindowEllPlan.build(csr, split_rows=128), 1e-4)
+    pat = roofline_report(
+        WindowEllPlan.build(csr, split_rows=128, pattern=True), 1e-4)
+    assert nat["slots"] == pat["slots"] > 0
+    assert pat["stream_bytes"] < 0.5 * nat["stream_bytes"]
+    assert nat["ps_per_slot"] > 0 and nat["actual_gb_s"] > 0

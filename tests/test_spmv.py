@@ -219,3 +219,21 @@ class TestPatternDispatch:
                          SpMVConfig(kernel_type=KernelType.MERGE_PATH))
         assert res_p.error_code == 0
         np.testing.assert_array_equal(res_p.y_host(), res_g.y_host())
+
+    def test_ell_pattern_dispatch(self, rng):
+        from tpu_spmv import spmv_ell
+        from tpu_spmv.ell import ELLMatrix
+
+        A = self._transition(600, 3000, seed=11)
+        if A.compute_stats().max_nnz_per_row > 64:
+            import pytest
+
+            pytest.skip("ELL conversion too wide for this draw")
+        ell = ELLMatrix.from_csr(A)
+        x = rng.vector(600)
+        res_p = spmv_ell(ell, x, SpMVConfig(pattern=True))
+        res_g = spmv_ell(ELLMatrix.from_csr(A), x)
+        assert res_p.error_code == 0
+        assert spmv_matches(res_p.y_host(), A, x, rel_tol=1e-5)
+        np.testing.assert_allclose(res_p.y_host(), res_g.y_host(),
+                                   rtol=1e-4)

@@ -68,3 +68,35 @@ def memory_analysis(fn: Callable, *args, **kwargs) -> dict[str, Any]:
     keys = ("argument_size_in_bytes", "output_size_in_bytes",
             "temp_size_in_bytes", "generated_code_size_in_bytes")
     return {k: getattr(mem, k, None) for k in keys} if mem else {}
+
+
+def roofline_report(plan, secs: float, device=None) -> dict[str, Any]:
+    """Roofline placement of a measured packed-kernel time.
+
+    ``plan`` is any built packed plan (``WindowEllPlan`` /
+    ``BandedPlan`` / ``CompositePlan``); ``secs`` the measured per-call
+    seconds (use :func:`tpu_spmv.timing.time_jitted`).  Returns the
+    kernel's actual streamed bytes (``stream_bytes`` — the physics-guard
+    accounting), implied HBM throughput, per-slot wall time, and the
+    fraction of measured STREAM bandwidth — the numbers docs/PERF.md's
+    analyses are phrased in.  On non-TPU backends ``stream_fraction``
+    uses the configured peak instead of a STREAM measurement.
+    """
+    from .bandwidth import measured_stream_bandwidth
+    from .kernels.window_ell import CHUNKS, LANE
+
+    plans = getattr(plan, "plans", (plan,))
+    slots = sum(p.n_groups * CHUNKS * LANE for p in plans)
+    bytes_ = sum(p.stream_bytes for p in plans)
+    if getattr(plan, "tail", None) is not None:  # composite remainder
+        bytes_ += float(plan.tail.nnz) * 12.0
+    stream = measured_stream_bandwidth(device)
+    gbs = bytes_ / secs / 1e9 if secs > 0 else 0.0
+    return {
+        "stream_bytes": float(bytes_),
+        "slots": int(slots),
+        "ps_per_slot": secs / slots * 1e12 if slots else 0.0,
+        "actual_gb_s": gbs,
+        "stream_gb_s": float(stream),
+        "stream_fraction": gbs / stream if stream else 0.0,
+    }

@@ -337,11 +337,13 @@ def spmv_ell(A: ELLMatrix | None, x, config: SpMVConfig | None = None,
         result.y = jnp.zeros((0,), jnp.float32)
         return result
 
-    fn, args = _resolve_ell_kernel(A)
+    fn, args = _resolve_ell_kernel(A, config)
     try:
         result.y = fn(*args, x)[: A.num_rows]
     except _EXEC_ERRORS:
-        if fn is spmv_window_ell:
+        from .kernels.window_ell import spmv_pattern, spmv_pattern_banded
+
+        if fn in (spmv_window_ell, spmv_pattern, spmv_pattern_banded):
             # packed-path device/compile failure: retry on the slot-major
             # streaming kernel before reporting EXECUTION
             fn, args = (lambda d, v: _ell_entry(d, v)), (A.to_device(),)
@@ -371,12 +373,21 @@ def spmv_ell(A: ELLMatrix | None, x, config: SpMVConfig | None = None,
     return result
 
 
-def _resolve_ell_kernel(A: ELLMatrix):
+def _resolve_ell_kernel(A: ELLMatrix, config: SpMVConfig | None = None):
     """Resolve the ELL dispatch target: the packed window-ELL Pallas plan
     (the TPU-native ELL formulation) when it fits, else the XLA slot-major
     gather kernel.  Shared by :func:`spmv_ell` and the benchmark harness so
-    measurements time exactly what dispatch serves (VERDICT r02 weak #4)."""
+    measurements time exactly what dispatch serves (VERDICT r02 weak #4).
+    ``config.pattern`` routes column-scaled ELL matrices through the same
+    pattern fast path as the CSR dispatch."""
     if A.num_cols <= VMEM_X_MAX_COLS:
+        if config is not None and config.pattern:
+            if "_csr" not in A._plan_cache:
+                A._plan_cache["_csr"] = A.to_csr()
+            resolved = _resolve_pattern(A._plan_cache["_csr"],
+                                        KernelType.VECTOR_CSR, config)
+            if resolved is not None:
+                return resolved
         if "plan" not in A._plan_cache:
             # a rejected build is cached as None so later calls take the
             # fallback immediately instead of re-running the O(nnz) build
