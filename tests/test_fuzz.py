@@ -45,19 +45,27 @@ def test_packer_fuzz(rng):
             cols = int(r.integers(1, 2500))
         csr = _matrix(r, kind, rows, cols)
         split = [None, 32, 128][int(r.integers(0, 3))]
+        # fuzz the round-3 levers too: leveling composes with every
+        # other knob; pattern runs against the unit-valued oracle
+        perm = bool(r.integers(0, 2))
+        pattern = bool(r.integers(0, 4) == 0)
         try:
             plan = WindowEllPlan.build(
                 csr, split_rows=split,
                 spill_rounds=int(r.integers(1, 4)),
                 cap_margin=float(r.uniform(0.1, 0.6)),
-                sup=[None, 1024, 4096][int(r.integers(0, 3))])
+                sup=[None, 1024, 4096][int(r.integers(0, 3))],
+                permute_rows=perm, pattern=pattern)
         except WindowEllOverflow:
             continue
         tested += 1
+        oracle = csr if not pattern else CSRMatrix(
+            csr.num_rows, csr.num_cols,
+            np.ones(csr.nnz, np.float32), csr.col_indices, csr.row_ptrs)
         x = r.uniform(-3, 3, cols).astype(np.float32)
         y = np.asarray(spmv_window_ell(plan, x))
-        assert spmv_matches(y, csr, x, rel_tol=1e-5), \
-            (trial, kind, rows, cols, split)
+        assert spmv_matches(y, oracle, x, rel_tol=1e-5), \
+            (trial, kind, rows, cols, split, perm, pattern)
     assert tested >= 20
 
 
