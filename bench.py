@@ -52,7 +52,11 @@ def main() -> int:
     # within 4 windows so the VMEM-resident x table serves every gather ----
     rng = RandomGenerator(42)
     # reference capacity scale (requirements.md:32: up to 10M nnz)
-    rows, cols, avg = 262144, 4096, 40.0
+    # TPU_SPMV_BENCH_SMOKE=1: tiny shapes + interpret-friendly step
+    # widths and no secondary metrics — validates the bench FLOW on the
+    # CPU backend (numbers meaningless); never set on real runs
+    smoke = bool(os.environ.get("TPU_SPMV_BENCH_SMOKE"))
+    rows, cols, avg = (8192, 2048, 12.0) if smoke else (262144, 4096, 40.0)
     csr = rng.power_law_csr(rows, cols, avg_nnz=avg, alpha=1.6)
     stats = csr.compute_stats()
     log(f"matrix: {rows}x{cols} nnz={csr.nnz} avg={stats.avg_nnz_per_row:.1f} "
@@ -61,22 +65,33 @@ def main() -> int:
     auto = spmv_auto_config(csr)
     log(f"auto-selector: {KernelType(auto.kernel_type).name}")
 
-    # ---- build TWO merge-path plans host-side: the chip's per-session
-    # throughput state flips the optimal step width (S=128 wins the fast
-    # state at ~152 us, S=384 the slow state at ~156 us vs 181 for
-    # S=128 there — larger blocks amortize whatever the slow state
-    # penalizes per DMA step); measuring both makes the recorded number
-    # state-insensitive ----
+    # ---- build FOUR merge-path candidates host-side: the chip's
+    # per-session throughput state flips the optimal step width (S=128
+    # wins the fast state at ~152 us, S=384 the slow state — larger
+    # blocks amortize whatever the slow state penalizes per DMA step),
+    # and the row→lane leveled plans stream ~12% fewer groups at the
+    # cost of one lane-gather pass.  Measuring all four and keeping the
+    # guarded best makes the recorded number state-insensitive AND
+    # robust to the leveled kernel being unvalidated on a given stack
+    # (a failing candidate is skipped, never fatal).  Naturals first.
     t0 = time.time()
     cpu0 = jax.local_devices(backend="cpu")[0]
-    plan_hosts = {S: WindowEllPlan.build(csr, split_rows=MERGE_SPLIT_ROWS,
-                                         step_groups=S, device=cpu0)
-                  for S in (128, 384)}
-    plan_host = plan_hosts[128]
+    candidates = []
+    for perm in (False, True):
+        for S in ((8, 16) if smoke else (128, 384)):
+            try:
+                ph = WindowEllPlan.build(
+                    csr, split_rows=MERGE_SPLIT_ROWS, step_groups=S,
+                    device=cpu0, permute_rows=perm)
+                candidates.append((f"S={S}{'+perm' if perm else ''}", ph))
+            except Exception as e:  # never lose the bench to one lever
+                log(f"  candidate S={S} perm={perm} build failed: {e}")
+    plan_host = candidates[0][1]
     plan = plan_host.to_device(dev)
     log(f"plan: groups={plan.n_groups} occupancy={plan_host.occupancy:.3f} "
         f"extras={plan.n_extra} build+upload {time.time()-t0:.1f}s")
 
+    _ITERS = 4 if smoke else 300
     x = jnp.asarray(rng.vector(cols))
 
     # correctness spot-check against the CPU oracle
@@ -93,49 +108,54 @@ def main() -> int:
     # single differenced slope in either direction), plus a physics
     # guard — a reading implying more actual streamed bytes/s than
     # measured STREAM is a measurement artifact, not a kernel time ----
-    actual_bytes = plan.n_groups * 1024 * (5.5 if plan.sbn else 6.0) \
-        + (plan.cols_pad + plan.e8 * 128 + plan.out8 * 128) * 4
+    secs = None
+    best_tag = candidates[0][0]
+    actual_bytes = plan.stream_bytes
+    for tag, ph in candidates:
+        try:
+            p_dev = plan if ph is plan_host else ph.to_device(dev)
+            act = p_dev.stream_bytes
+            if ph is not plan_host and not spmv_matches(
+                    np.asarray(spmv_window_ell(p_dev, x)), csr,
+                    np.asarray(x), rel_tol=1e-5):
+                log(f"  [{tag}] FAILED correctness — skipping")
+                continue
+            s_c = None
+            for _ in range(3):
+                s_try = time_jitted(spmv_window_ell, p_dev, x, iters=_ITERS,
+                                    samples=5, estimator="median")
+                if act / s_try / 1e9 <= stream_gbs * 1.02:
+                    s_c = s_try
+                    break
+                log(f"  [{tag}] discarded: implies "
+                    f"{act/s_try/1e9:.0f} GB/s actual stream > STREAM "
+                    f"{stream_gbs:.0f}")
+            if s_c is None:
+                continue
+            log(f"  [{tag}] {s_c*1e6:.1f} us "
+                f"({act/s_c/1e9:.0f} GB/s actual)")
+            if secs is None or s_c < secs:
+                secs, plan, plan_host, actual_bytes, best_tag = \
+                    s_c, p_dev, ph, act, tag
+        except Exception as e:  # e.g. a Mosaic rejection of a new path
+            log(f"  [{tag}] FAILED {type(e).__name__}: {e}")
+    log(f"  winning candidate: {best_tag}")
 
     def measure_headline(tag):
+        """Guarded re-measure of the WINNING plan (late-run de-biasing)."""
         for _ in range(3):
-            s = time_jitted(spmv_window_ell, plan, x, iters=300,
+            s = time_jitted(spmv_window_ell, plan, x, iters=_ITERS,
                             samples=5, estimator="median")
-            implied = actual_bytes / s / 1e9
-            if implied <= stream_gbs * 1.02:
+            if actual_bytes / s / 1e9 <= stream_gbs * 1.02:
                 return s
-            log(f"  [{tag}] discarded: implies {implied:.0f} GB/s actual "
-                f"stream > STREAM {stream_gbs:.0f}")
-        return None  # every reading failed the physics guard
+            log(f"  [{tag}] discarded: implies "
+                f"{actual_bytes/s/1e9:.0f} GB/s actual stream > STREAM "
+                f"{stream_gbs:.0f}")
+        return None
 
-    secs = measure_headline("this-session")
-    if secs is not None:
-        log(f"  this-session: {secs*1e6:.1f} us "
-            f"({actual_bytes/secs/1e9:.0f} GB/s actual)")
-    # the alternate step width (see plan_hosts comment)
-    p384_host = plan_hosts[384]
-    p384 = p384_host.to_device(dev)
-    act384 = p384.n_groups * 1024 * (5.5 if p384.sbn else 6.0) \
-        + (p384.cols_pad + (p384.e8 + p384.out8) * 128) * 4
-    ok384 = spmv_matches(np.asarray(spmv_window_ell(p384, x)), csr,
-                         np.asarray(x), rel_tol=1e-5)
-    if not ok384:
-        log("  S=384 plan FAILED correctness — skipping")
-    s384 = None
-    for _ in range(3 if ok384 else 0):
-        s384 = time_jitted(spmv_window_ell, p384, x, iters=300,
-                           samples=5, estimator="median")
-        if (act384 / s384 / 1e9) <= stream_gbs * 1.02:
-            break
-        s384 = None
-    if s384 is not None:
-        log(f"  S=384 plan: {s384*1e6:.1f} us "
-            f"({act384/s384/1e9:.0f} GB/s actual)")
-        if secs is None or s384 < secs:
-            secs, plan, actual_bytes = s384, p384, act384
-            plan_host = p384_host
     if secs is None:  # every guarded reading failed — report one raw
         log("all guarded measurements failed; using one raw median")
-        secs = time_jitted(spmv_window_ell, plan, x, iters=300,
+        secs = time_jitted(spmv_window_ell, plan, x, iters=_ITERS,
                            samples=5, estimator="median")
     model_bytes = csr.nnz * 8 + (rows + 1) * 4 + cols * 4 + rows * 4
     spmv_gbs = model_bytes / secs / 1e9
@@ -154,6 +174,8 @@ def main() -> int:
     # secondary metric: 5-pt stencil via the ELL path (BASELINE config #2)
     ell_gbs = 0.0
     try:
+        if smoke:
+            raise RuntimeError("smoke mode")
         from tpu_spmv.ell import ELLMatrix
         from tpu_spmv.csr import CSRMatrix
         from tpu_spmv.spmv import spmv_ell
@@ -179,7 +201,7 @@ def main() -> int:
         stencil = CSRMatrix(N, N, va[o], ca[o].astype(np.int32), rp)
         ell = ELLMatrix.from_csr(stencil)
         xe = jnp.asarray(rng.vector(N))
-        r_ell = spmv_ell(ell, xe, measure=True, measure_iters=300)
+        r_ell = spmv_ell(ell, xe, measure=True, measure_iters=_ITERS)
         ell_gbs = r_ell.bandwidth_gb_s
         log(f"ELL 5-pt stencil: {r_ell.elapsed_ms*1e3:.1f} us -> "
             f"{ell_gbs:.1f} GB/s (ELL byte model)")
@@ -191,6 +213,8 @@ def main() -> int:
     # superblocks serve the structure round 1 rejected to the flat path
     web_gbs = 0.0
     try:
+        if smoke:
+            raise RuntimeError("smoke mode")
         from tpu_spmv.spmv import spmv_csr
         from tpu_spmv.utils.testing import web_graph_csr
 
@@ -216,7 +240,7 @@ def main() -> int:
     if not candidates:
         log("every measurement failed the physics guard; "
             "reporting one raw median reading")
-        candidates = [time_jitted(spmv_window_ell, plan, x, iters=300,
+        candidates = [time_jitted(spmv_window_ell, plan, x, iters=_ITERS,
                                   samples=5, estimator="median")]
     secs = min(candidates)
     spmv_gbs = model_bytes / secs / 1e9
@@ -242,6 +266,7 @@ def main() -> int:
             "nnz": csr.nnz,
             "skewness": round(stats.skewness, 1),
             "occupancy": round(plan_host.occupancy, 4),
+            "winning_plan": best_tag,
             "ell_stencil_gb_s": round(ell_gbs, 3),
             "web_graph_1m_gb_s": round(web_gbs, 3),
             "correct": bool(ok),
