@@ -94,19 +94,45 @@ def main(argv=None):
             traffic = ring_traffic_report(rs)
         except WindowEllOverflow:
             ring_ok, traffic = None, None
+        # round-3 planner levers over the same mesh: row→lane leveled
+        # shard plans, and a pattern sharding (no f32 vals stream) of a
+        # column-scaled twin of this structure
+        try:
+            sl = shard_csr_packed(csr, mesh, permute_rows=True)
+            lv_ok = bool(spmv_matches(
+                np.asarray(spmv_csr_sharded_packed(sl, x, mesh)),
+                csr, x, rel_tol=1e-5))
+        except WindowEllOverflow:
+            lv_ok = None
+        try:
+            from tpu_spmv.csr import CSRMatrix
+
+            s_col = np.abs(rng.vector(cols)) + 0.5
+            twin = CSRMatrix(csr.num_rows, cols,
+                             s_col[csr.col_indices], csr.col_indices,
+                             csr.row_ptrs)
+            st = shard_csr_packed(twin, mesh, pattern=True)
+            pt_ok = bool(spmv_matches(
+                np.asarray(spmv_csr_sharded_packed(st, x, mesh)),
+                twin, x, rel_tol=1e-5))
+        except WindowEllOverflow:
+            pt_ok = None
         rows_out.append({"devices": d, "gnnz_per_s": nnz_s / 1e9,
                          "efficiency_wall": eff,
                          "efficiency_balance": balance,
                          "nnz_imbalance": imb,
                          "correct": bool(ok),
                          "ring_correct": ring_ok,
+                         "leveled_correct": lv_ok,
+                         "pattern_correct": pt_ok,
                          "ring_traffic": traffic})
         comp = "n/a" if not traffic else \
             f"{traffic['compression']:.2f}x compression"
         print(f"  {d:2d} dev: {secs*1e6:9.1f} us  {nnz_s/1e9:7.2f} Gnnz/s  "
               f"eff(wall) {eff:5.2f}  eff(balance) {balance:5.2f}  "
               f"imbalance {imb:5.1%}  correct={ok}  ring={ring_ok} "
-              f"({comp})", file=sys.stderr)
+              f"({comp})  leveled={lv_ok}  pattern={pt_ok}",
+              file=sys.stderr)
     if args.json:
         print(json.dumps(rows_out))
     if args.out:

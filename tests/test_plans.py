@@ -300,3 +300,15 @@ class TestPatternPlans:
         pat = WindowEllPlan.build(csr, sup=1024, pattern=True)
         assert pat.n_groups == nat.n_groups
         assert pat.stream_bytes < 0.45 * nat.stream_bytes
+
+
+def test_composite_with_leveling(rng):
+    """build_composite threads permute_rows into every level."""
+    from tpu_spmv.kernels.window_ell import build_composite, spmv_composite
+
+    csr = rng.power_law_csr(3000, 2000, avg_nnz=8.0, alpha=1.8)
+    cp = build_composite(csr, permute_rows=True)
+    assert any(p.lam is not None for p in cp.plans)
+    x = rng.vector(2000)
+    y = np.asarray(spmv_composite(cp, x))
+    assert spmv_matches(y, csr, x, rel_tol=1e-5)

@@ -49,10 +49,16 @@ def print_device_info():
 
 
 def benchmark_spmv(rows: int, cols: int, density: float, runs: int,
-                   emit_json: bool, matrix: str | None = None):
+                   emit_json: bool, matrix: str | None = None,
+                   pattern: bool = False, permute_rows: bool = False):
     """The reference 3-kernel sweep (main.cu:16-80).  ``matrix`` loads a
     Matrix Market ``.mtx`` file (SuiteSparse interchange) instead of the
-    generated matrix."""
+    generated matrix.  ``pattern``/``permute_rows`` engage the round-3
+    planner levers on the packed kernels (docs/PERF.md)."""
+    import os
+
+    if permute_rows:
+        os.environ["TPU_SPMV_PERMUTE_ROWS"] = "1"
     rng = RandomGenerator(42)
     if matrix:
         from .io.matrix_market import load_matrix_market
@@ -74,7 +80,8 @@ def benchmark_spmv(rows: int, cols: int, density: float, runs: int,
     results = {}
     for kt in (KernelType.SCALAR_CSR, KernelType.VECTOR_CSR,
                KernelType.MERGE_PATH):
-        r = benchmark_csr(csr, x, SpMVConfig(kernel_type=kt), bc,
+        r = benchmark_csr(csr, x,
+                          SpMVConfig(kernel_type=kt, pattern=pattern), bc,
                           name=kt.name.lower())
         results[kt.name] = r
         print(f"  {kt.name:12s}: avg {r.avg_time_ms:9.4f} ms  "
@@ -134,11 +141,18 @@ def main(argv=None):
     p.add_argument("--matrix", type=str, default=None, metavar="FILE.mtx",
                    help="benchmark a Matrix Market file instead of a "
                         "generated matrix")
+    p.add_argument("--pattern", action="store_true",
+                   help="route column-scaled matrices through pattern "
+                        "plans (no f32 vals stream)")
+    p.add_argument("--permute-rows", action="store_true",
+                   help="enable within-superblock row→lane leveling on "
+                        "the packed kernels")
     args = p.parse_args(argv)
 
     print_device_info()
     benchmark_spmv(args.rows, args.cols, args.density, args.runs, args.json,
-                   matrix=args.matrix)
+                   matrix=args.matrix, pattern=args.pattern,
+                   permute_rows=args.permute_rows)
     if not args.skip_pagerank:
         benchmark_pagerank(args.pagerank_nodes, args.json)
     return 0

@@ -1339,7 +1339,8 @@ def _subset_csr(csr: CSRMatrix, rows_of: np.ndarray,
 
 def build_composite(csr: CSRMatrix, step_groups: int | None = None,
                     max_levels: int = 3, split_rows: int | None = None,
-                    device=None) -> CompositePlan:
+                    device=None,
+                    permute_rows: bool | None = None) -> CompositePlan:
     """Build the multi-level composite layout (see :class:`CompositePlan`).
 
     Each level's superblock height comes from the cost model on what is
@@ -1354,6 +1355,8 @@ def build_composite(csr: CSRMatrix, step_groups: int | None = None,
     non-final levels is unnecessary: the cap-keep strips heavy rows'
     excess into the next level.
     """
+    if permute_rows is None:
+        permute_rows = _permute_default()
     plans = []
     rem = csr
     for lvl in range(max_levels):
@@ -1365,7 +1368,7 @@ def build_composite(csr: CSRMatrix, step_groups: int | None = None,
             try:
                 plans.append(WindowEllPlan.build(
                     rem, split_rows=split_rows, step_groups=step_groups,
-                    device=device))
+                    device=device, permute_rows=permute_rows))
                 rem = None
             except WindowEllOverflow:
                 pass                  # remainder to the flat tail
@@ -1393,7 +1396,8 @@ def build_composite(csr: CSRMatrix, step_groups: int | None = None,
         try:
             plans.append(WindowEllPlan.build(
                 kept, split_rows=None, step_groups=step_groups, sup=s,
-                cap_slack=8 if narrow else 2, device=device))
+                cap_slack=8 if narrow else 2, device=device,
+                permute_rows=permute_rows))
         except WindowEllOverflow:
             break                     # whole remainder to the flat tail
         n_spill = int((~keep).sum())
