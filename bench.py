@@ -232,6 +232,35 @@ def main() -> int:
     except Exception as e:  # secondary metric must never sink the bench
         log(f"web-graph metric skipped: {e}")
 
+    # secondary metric: PageRank wall clock per iteration on a 262K-node
+    # column-normalized transition matrix (the reference flagship app,
+    # pagerank.cu:50-153) — exercises the pattern fast path end to end
+    pr_ms_iter = 0.0
+    try:
+        if smoke:
+            raise RuntimeError("smoke mode")
+        from tpu_spmv import pagerank
+        from tpu_spmv.csr import CSRMatrix
+        from tpu_spmv.pagerank import PageRankConfig
+        from tpu_spmv.utils.testing import web_graph_csr
+
+        adj = web_graph_csr(rng, 262144, 262144, avg_nnz=15)
+        outd = np.zeros(262144, np.float32)
+        np.add.at(outd, adj.col_indices, 1.0)
+        tvals = (1.0 / np.maximum(outd, 1.0)[adj.col_indices]).astype(
+            np.float32)
+        trans = CSRMatrix(262144, 262144, tvals, adj.col_indices,
+                          adj.row_ptrs)
+        cfg = PageRankConfig(max_iterations=30, tolerance=0.0)
+        pagerank(trans, cfg)                       # build + compile
+        t0 = time.time()
+        rpr = pagerank(trans, cfg)
+        pr_ms_iter = (time.time() - t0) * 1e3 / max(rpr.iterations, 1)
+        log(f"PageRank 262K (pattern path): {rpr.iterations} iters, "
+            f"{pr_ms_iter:.2f} ms/iter wall")
+    except Exception as e:
+        log(f"PageRank metric skipped: {e}")
+
     # re-measure the headline late in the run and keep the overall min
     # of guarded measurements (spreading them in time de-biases any
     # transient slow phase)
@@ -269,6 +298,7 @@ def main() -> int:
             "winning_plan": best_tag,
             "ell_stencil_gb_s": round(ell_gbs, 3),
             "web_graph_1m_gb_s": round(web_gbs, 3),
+            "pagerank_262k_ms_per_iter": round(pr_ms_iter, 3),
             "correct": bool(ok),
         },
     }))
