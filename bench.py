@@ -35,6 +35,12 @@ def main() -> int:
                           "/root/.cache/jax_comp_cache")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
     import jax
+
+    # smoke mode validates the bench FLOW on the CPU backend — force it
+    # before backend init (the axon plugin overrides JAX_PLATFORMS, and
+    # its device probe can hang for minutes when the tunnel is down)
+    if os.environ.get("TPU_SPMV_BENCH_SMOKE"):
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from tpu_spmv import KernelType, SpMVConfig, spmv_auto_config

@@ -122,6 +122,38 @@ def test_packer_fuzz_spill_beta_and_balancer(rng, monkeypatch):
     assert tested >= 10
 
 
+def test_packer_fuzz_combine_levers(rng, monkeypatch):
+    """The combine-split levers — TPU_SPMV_BYPASS_K (rows with K <=
+    bypass_k extras gather their level-1 totals directly instead of
+    through a level-2 row) and TPU_SPMV_L2_BALANCE (slot-balance the
+    level-2 region) — are plan-layout-only: every combination must
+    reproduce the oracle, including hub rows with many extras."""
+    r = rng.rng
+    tested = 0
+    for trial in range(16):
+        kind = [1, 4, 0, 2][trial % 4]   # favor extras-heavy structures
+        rows = int(r.integers(1200, 6000))
+        cols = int(r.integers(1025, 4200))
+        csr = _matrix(r, kind, rows, cols)
+        monkeypatch.setenv("TPU_SPMV_BYPASS_K", str([1, 2, 3, 5][trial % 4]))
+        if trial % 2:
+            monkeypatch.setenv("TPU_SPMV_L2_BALANCE", "1")
+        else:
+            monkeypatch.delenv("TPU_SPMV_L2_BALANCE", raising=False)
+        try:
+            plan = WindowEllPlan.build(
+                csr, split_rows=[None, 32, 128][trial % 3],
+                permute_rows=bool(r.integers(0, 2)))
+        except WindowEllOverflow:
+            continue
+        tested += 1
+        x = r.uniform(-3, 3, cols).astype(np.float32)
+        y = np.asarray(spmv_window_ell(plan, x))
+        assert spmv_matches(y, csr, x, rel_tol=1e-5), \
+            (trial, kind, rows, cols)
+    assert tested >= 10
+
+
 def test_packer_fuzz_nonstandard_step_widths(rng):
     """Step widths that are not multiples of T_SUB=16 (e.g. via
     SpMVConfig(block_size=24) -> step_groups=12) must be normalized at

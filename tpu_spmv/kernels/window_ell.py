@@ -133,6 +133,22 @@ def _permute_default() -> bool:
     return PERMUTE_ROWS_DEFAULT
 
 
+# rows with K <= bypass_k extras skip the level-2 combine and gather
+# their level-1 totals directly (K=1 is the round-3 singles bypass).
+# K=2 MEASURED NET-ZERO on the 10M-nnz leveled headline (15104 both
+# ways: the L2 section shrinks one 128-group quantum but the 8202
+# direct gather cells open/raise rows-region (sup, table-window)
+# buckets by the same amount) and −128 WORSE on the 262K web graph;
+# K>=3 is worse still (15488/16384 headline).  The combine split is at
+# a measured local optimum at K=1.  Env override: TPU_SPMV_BYPASS_K.
+BYPASS_K_DEFAULT = 1
+
+
+def _bypass_k() -> int:
+    env = os.environ.get("TPU_SPMV_BYPASS_K")
+    return int(env) if env else BYPASS_K_DEFAULT
+
+
 def _auto_caps(sup: int) -> tuple:
     """(spill_beta, cap_slack) defaults per superblock height — shared
     by ``build``/``build_auto`` and ``_choose_sup`` so the cost model
@@ -683,11 +699,12 @@ class WindowEllPlan:
                 # scatter them over more (row_sup, window) buckets)
                 win = int(os.environ.get("TPU_SPMV_BALANCE_WINDOW", "2"))
                 if win >= 1:
-                    # single-extra rows' combine nonzeros gather at
-                    # cols_pad + (the index this pass assigns) — couple
-                    # that cell into the score (native.cc rationale)
+                    # direct-combine rows' (K <= bypass_k) nonzeros
+                    # gather at cols_pad + (the index this pass
+                    # assigns) — couple those cells into the score
+                    # (native.cc rationale)
                     cnt_row = np.bincount(extra_to_row, minlength=rows)
-                    crow = np.where(cnt_row[extra_to_row] == 1,
+                    crow = np.where(cnt_row[extra_to_row] <= _bypass_k(),
                                     extra_to_row, -1)
                     i2 = balance_extra_slots(
                         ptr_i, wc_arr, n_windows * CHUNKS, sup_rows,
@@ -712,41 +729,83 @@ class WindowEllPlan:
             # 128), so a flat combine would need K distinct table chunks
             # per lane — measured on the 10M-nnz headline it scattered
             # 88K combine nonzeros over 1.9K near-empty buckets
-            # (occupancy 0.026).  Rows with K>=2 extras get ONE level-2
+            # (occupancy 0.026).  Rows with MANY extras get ONE level-2
             # extra row of unit-valued gathers of their level-1 totals;
-            # rows with a SINGLE extra skip level 2 entirely (round-3):
-            # their combine nonzero gathers the level-1 total directly,
-            # which removes most of the sparse level-2 region (measured
-            # occupancy 0.080 in round 2 with all heavy rows in L2).
+            # rows with K <= bypass_k extras skip level 2 entirely
+            # (round-3; K=1 singles first, generalized to K<=2 late):
+            # their combine nonzeros gather the level-1 totals directly
+            # — the interleave keeps those gather columns spread, so
+            # the direct cells ride existing rows-region buckets, while
+            # every bypassed row shrinks the sparse L2 region (measured
+            # on the 10M-nnz leveled headline: K<=2 removes 4101 of
+            # 6580 L2 rows and 8202 of 22310 L2 gathers; L2 section 512
+            # -> 384 groups with the rows region unchanged.  L2
+            # occupancy was 0.012 — 3.4% of the plan for 0.2% of nnz).
             rows_w, lvl2_of_extra, k_count = np.unique(
                 extra_to_row, return_inverse=True, return_counts=True)
             R2 = len(rows_w)
-            multi_row = k_count >= 2
-            n_multi = int(multi_row.sum())
-            rho2_of_row = np.cumsum(multi_row) - 1    # rank among multi
-            is_multi = multi_row[lvl2_of_extra]       # per L1 extra
+            bypass_k = _bypass_k()
+            lvl2_row = k_count > bypass_k
+            n_lvl2 = int(lvl2_row.sum())
+            rho2_of_row = np.cumsum(lvl2_row) - 1     # rank among L2 rows
+            is_lvl2 = lvl2_row[lvl2_of_extra]         # per L1 extra
             lvl2_base = -(-n_extra // sup_rows) * sup_rows
             lvl2_sup0 = extras_sup0 + lvl2_base // sup_rows
-            me = np.nonzero(is_multi)[0]
+            me = np.nonzero(is_lvl2)[0]
+            e2r_l2 = rows_w[lvl2_row]
+            # balance the LEVEL-2 region (round-3 late; opt-in).  rho2
+            # rank in row order scatters each L2 superblock's gathers
+            # over all ~n_extra/1024 table windows.  The same slot
+            # balancer as L1 — content = the row's L1 extras'
+            # table-slot windows, crow-coupled to the FINAL combine
+            # gather (which reads cols_pad + lvl2_base + the rank this
+            # pass assigns) — clusters shared windows per superblock.
+            # MEASURED NET-ZERO on the 10M-nnz leveled headline (L2
+            # section 512 -> 384 groups, but clustering the final
+            # gather columns raises the rows region by the same 128 —
+            # rank order is already near-optimal spreading for the
+            # rows region) and a no-op on the 262K web graph, so the
+            # knob defaults OFF; kept for A/Bs on shapes whose L2
+            # region dominates (TPU_SPMV_L2_BALANCE=1).
+            if n_lvl2 and os.environ.get("TPU_SPMV_L2_BALANCE"):
+                from ..native import balance_extra_slots
+
+                old_rank = rho2_of_row[lvl2_of_extra[me]]
+                cnt2 = np.bincount(old_rank, minlength=n_lvl2)
+                ptr2 = np.zeros(n_lvl2 + 1, np.int64)
+                np.cumsum(cnt2, out=ptr2[1:])
+                o2 = np.argsort(old_rank, kind="stable")
+                wc2 = (me[o2] // LANE).astype(np.int64)
+                win2 = int(os.environ.get(
+                    "TPU_SPMV_L2_WINDOW",
+                    str(max(-(-n_lvl2 // sup_rows), 1))))
+                n_wc2 = -(-(int(wc2.max()) + 1) // CHUNKS) * CHUNKS
+                rho_bal = balance_extra_slots(
+                    ptr2, wc2, n_wc2, sup_rows,
+                    window_sups=win2, ext_crow=e2r_l2)
+                if rho_bal is not None:
+                    rho2_of_row[lvl2_row] = rho_bal
+                    e2r_new2 = np.empty(n_lvl2, e2r_l2.dtype)
+                    e2r_new2[rho_bal] = e2r_l2
+                    e2r_l2 = e2r_new2
             pos_l2 = extras_base + lvl2_base \
                 + rho2_of_row[lvl2_of_extra[me]]
             cols_l2 = cols_pad + me                   # L1 table slots
-            # combine: gather the L2 total (multi) or the single L1
-            # total directly
-            pos_fin = rows_w
-            single_idx = np.zeros(R2, np.int64)
-            se = np.nonzero(~is_multi)[0]
-            single_idx[lvl2_of_extra[se]] = se
-            cols_fin = np.where(multi_row,
-                                cols_pad + lvl2_base + rho2_of_row,
-                                cols_pad + single_idx)
+            # combine: direct-combine rows gather each L1 total at its
+            # table slot; L2 rows gather their L2 total
+            be = np.nonzero(~is_lvl2)[0]              # direct-read extras
+            pos_fin = np.concatenate([extra_to_row[be],
+                                      rows_w[lvl2_row]])
+            cols_fin = np.concatenate(
+                [cols_pad + be,
+                 cols_pad + lvl2_base + rho2_of_row[lvl2_row]])
             pos = np.concatenate([pos, pos_l2, pos_fin])
             cols64 = np.concatenate([cols64, cols_l2, cols_fin])
             vals_src = np.concatenate(
-                [vals_src, np.ones(len(me) + R2, np.float32)])
-            extra_to_row = np.concatenate(
-                [extra_to_row, rows_w[multi_row]])
-            n_extra_pos = lvl2_base + n_multi
+                [vals_src,
+                 np.ones(len(me) + len(pos_fin), np.float32)])
+            extra_to_row = np.concatenate([extra_to_row, e2r_l2])
+            n_extra_pos = lvl2_base + n_lvl2
         else:
             n_extra_pos = 0
         # gather-table sublanes for extras totals (pow2-bucketed to bound

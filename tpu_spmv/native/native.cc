@@ -531,7 +531,9 @@ void balance_extra_slots2_i64(int64_t n_extra, const int64_t* ext_ptr,
     return static_cast<size_t>((kk >> 24) & c_mask);
   };
   // per-(superblock, window) bucket max depth for layer_aware scoring
-  const int64_t n_w = n_wc / 8;
+  // (ceil: n_wc below 8 — possible for the level-2 caller's compact
+  // table-window key space — must still give every bucket a row)
+  const int64_t n_w = (n_wc + 7) / 8;
   const size_t m_rows = size_t{1} << 16;
   const size_t m_mask = m_rows - 1;
   std::vector<int32_t> bmax(
