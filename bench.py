@@ -51,6 +51,15 @@ def main() -> int:
     from tpu_spmv.timing import time_jitted
     from tpu_spmv.utils.testing import RandomGenerator, spmv_matches
 
+    # the native planner library is REQUIRED for a representative number:
+    # without it the balancing passes silently no-op and the plan carries
+    # ~25% more groups (the round-3 own-goal — VERDICT r03 #1).  The
+    # import auto-builds it; require() turns any failure into a hard error.
+    from tpu_spmv import native as _native
+
+    _native.require()
+    log("native planner library: loaded")
+
     dev = jax.devices()[0]
     log(f"device: {dev.device_kind} ({dev.platform})")
 
@@ -83,13 +92,29 @@ def main() -> int:
     t0 = time.time()
     cpu0 = jax.local_devices(backend="cpu")[0]
     candidates = []
+    fingerprints = {}
     for perm in (False, True):
         for S in ((8, 16) if smoke else (128, 384)):
             try:
                 ph = WindowEllPlan.build(
                     csr, split_rows=MERGE_SPLIT_ROWS, step_groups=S,
                     device=cpu0, permute_rows=perm)
-                candidates.append((f"S={S}{'+perm' if perm else ''}", ph))
+                tag = f"S={S}{'+perm' if perm else ''}"
+                # plan FINGERPRINT: the round-3 A/B timed bit-identical
+                # plans without noticing (the perm lever silently no-oped);
+                # every candidate now records + logs its identity, and a
+                # no-oped lever fails the candidate instead of timing a dup
+                fp = {"groups": int(ph.n_groups),
+                      "occupancy": round(float(ph.occupancy), 4),
+                      "extras": int(ph.n_extra),
+                      "leveled": ph.lam is not None}
+                log(f"  candidate [{tag}] fingerprint: {fp}")
+                if perm and ph.lam is None:
+                    log(f"  candidate [{tag}] REJECTED: permute_rows "
+                        "requested but the leveling pass did not engage")
+                    continue
+                fingerprints[tag] = fp
+                candidates.append((tag, ph))
             except Exception as e:  # never lose the bench to one lever
                 log(f"  candidate S={S} perm={perm} build failed: {e}")
     plan_host = candidates[0][1]
@@ -302,6 +327,8 @@ def main() -> int:
             "skewness": round(stats.skewness, 1),
             "occupancy": round(plan_host.occupancy, 4),
             "winning_plan": best_tag,
+            "plan_fingerprints": fingerprints,
+            "native_planner": True,
             "ell_stencil_gb_s": round(ell_gbs, 3),
             "web_graph_1m_gb_s": round(web_gbs, 3),
             "pagerank_262k_ms_per_iter": round(pr_ms_iter, 3),

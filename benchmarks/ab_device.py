@@ -32,6 +32,12 @@ def main():
     from tpu_spmv.timing import time_jitted
     from tpu_spmv.utils.testing import RandomGenerator, spmv_matches
 
+    from tpu_spmv import native as _native
+
+    _native.require()  # an A/B of planner levers is meaningless without
+    # the native balancers — round 3 timed seven configs of which two
+    # were bit-identical because the levers silently no-oped
+
     dev = jax.devices()[0]
     cpu0 = jax.local_devices(backend="cpu")[0]
     print(f"device: {dev.device_kind}", flush=True)
@@ -55,6 +61,7 @@ def main():
         ("new     beta=2.2 sl0 w2L2 S=384", 2.2, 0, 2, 384, 2, False),
         ("r3      beta=2.6 win=1    S=384", 2.6, 1, 1, 384, 0, False),
     ]
+    seen_fps = {}
     for label, beta, slack, win, S, layer, perm in configs:
         os.environ["TPU_SPMV_BALANCE_WINDOW"] = str(win)
         os.environ["TPU_SPMV_BALANCE_LAYER"] = str(layer)
@@ -63,6 +70,20 @@ def main():
             ph = WindowEllPlan.build(csr, split_rows=128, step_groups=S,
                                      spill_beta=beta, cap_slack=slack,
                                      device=cpu0, permute_rows=perm)
+            # lever-engagement assertions (VERDICT r03 weak #3): a row
+            # whose lever did not change the plan is a measurement of
+            # nothing — fail it loudly instead of timing a duplicate
+            if perm and ph.lam is None:
+                print(f"{label}: LEVER NO-OP — permute_rows requested but "
+                      "lam is None; skipping", flush=True)
+                continue
+            fp = (int(ph.n_groups), round(float(ph.occupancy), 6),
+                  int(ph.n_extra), ph.lam is not None, S)
+            if fp in seen_fps:
+                print(f"{label}: DUPLICATE PLAN of [{seen_fps[fp]}] "
+                      f"(fingerprint {fp}); skipping", flush=True)
+                continue
+            seen_fps[fp] = label
             p = ph.to_device(dev)
             build_s = time.time() - t0
             y = np.asarray(spmv_window_ell(p, x))

@@ -65,8 +65,10 @@ class TestHeuristicBranches:
 
     def test_vmem_x_rule(self):
         """The texture-analog rule (test_kernel_selector.cpp:120-137):
-        VMEM residency enabled iff x fits the packed path (round 2: the
-        composite path stretches the cap beyond one resident block)."""
+        VMEM residency stays enabled at ANY width (round 4: column
+        strips serve x beyond the packed cap on the packed kernels —
+        kernels/strips.py); the flat path remains only for near-empty
+        structure."""
         small = _csr_with_row_lengths([4] * 8, 100)
         assert spmv_auto_config(small).use_vmem_x
         # huge-cols matrix built directly (dense would not fit in memory)
@@ -78,5 +80,6 @@ class TestHeuristicBranches:
                         np.tile(np.arange(4, dtype=np.int32), rows),
                         row_ptrs)
         cfg = spmv_auto_config(big)
-        assert not cfg.use_vmem_x
-        assert cfg.kernel_type == KernelType.SCALAR_CSR
+        assert cfg.use_vmem_x
+        # uniform 4-nnz rows: skew 1 → the lane-per-row packed kernel
+        assert cfg.kernel_type == KernelType.VECTOR_CSR

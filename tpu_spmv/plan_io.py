@@ -65,11 +65,31 @@ def _window_from(prefix: str, z, meta: dict, put):
 def save_plan(plan, path: str) -> None:
     """Serialize a built :class:`~tpu_spmv.kernels.window_ell.WindowEllPlan`
     or :class:`~tpu_spmv.kernels.window_ell.CompositePlan` to ``path``."""
+    from .kernels.strips import StripPlan
     from .kernels.window_ell import BandedPlan, CompositePlan, WindowEllPlan
 
     arrays: dict = {}
     meta: dict = {"version": _VERSION}
-    if isinstance(plan, WindowEllPlan):
+    if isinstance(plan, StripPlan):
+        meta["kind"] = "strips"
+        meta["n_strips"] = len(plan.plans)
+        meta["num_rows"] = plan.num_rows
+        meta["num_cols"] = plan.num_cols
+        meta["bounds"] = [list(b) for b in plan.bounds]
+        kinds = []
+        for i, p in enumerate(plan.plans):
+            if isinstance(p, BandedPlan):
+                kinds.append("banded")
+                meta[f"s{i}_n_bands"] = len(p.plans)
+                meta[f"s{i}_band_rows"] = list(p.band_rows)
+                meta[f"s{i}_shape"] = [p.num_rows, p.num_cols]
+                for j, q in enumerate(p.plans):
+                    _window_entry(q, f"s{i}b{j}_", arrays, meta)
+            else:
+                kinds.append("window_ell")
+                _window_entry(p, f"s{i}_", arrays, meta)
+        meta["strip_kinds"] = kinds
+    elif isinstance(plan, WindowEllPlan):
         meta["kind"] = "window_ell"
         _window_entry(plan, "p_", arrays, meta)
     elif isinstance(plan, BandedPlan):
@@ -140,6 +160,26 @@ def load_plan(path: str, device=None):
                             for i in range(meta["n_bands"])),
                 num_rows=meta["num_rows"], num_cols=meta["num_cols"],
                 band_rows=tuple(meta.get("band_rows", ())))
+        if kind == "strips":
+            from .kernels.strips import StripPlan
+            from .kernels.window_ell import BandedPlan
+
+            plans = []
+            for i, k in enumerate(meta["strip_kinds"]):
+                if k == "banded":
+                    nr, nc = meta[f"s{i}_shape"]
+                    plans.append(BandedPlan(
+                        plans=tuple(_window_from(f"s{i}b{j}_", z, meta, put)
+                                    for j in range(meta[f"s{i}_n_bands"])),
+                        num_rows=nr, num_cols=nc,
+                        band_rows=tuple(meta[f"s{i}_band_rows"])))
+                else:
+                    plans.append(_window_from(f"s{i}_", z, meta, put))
+            return StripPlan(plans=tuple(plans),
+                             num_rows=meta["num_rows"],
+                             num_cols=meta["num_cols"],
+                             bounds=tuple(tuple(b)
+                                          for b in meta["bounds"]))
         if kind == "composite":
             plans = tuple(_window_from(f"l{i}_", z, meta, put)
                           for i in range(meta["n_levels"]))

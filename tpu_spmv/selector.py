@@ -43,16 +43,15 @@ def spmv_auto_config(A: CSRMatrix) -> SpMVConfig:
     (reference ``spmv_auto_config``, ``spmv_cpu.cpp:34-50``)."""
     config = SpMVConfig()
     config.block_size = DEFAULT_BLOCK_SIZE
-    # round 2: the composite multi-plan path serves x beyond a single
-    # VMEM-resident block, so the packed cap is PACKED_MAX_COLS
-    config.use_vmem_x = A.num_cols <= PACKED_MAX_COLS
+    # round 4: column strips (kernels/strips.py) serve x beyond the
+    # packed cap — each strip is a VMEM-feasible column range on the
+    # packed kernels — so use_vmem_x stays on at ANY width and the flat
+    # path remains only for near-empty structure
+    config.use_vmem_x = True
 
     stats = A.compute_stats()
 
-    if not config.use_vmem_x:
-        # x too large for a VMEM-resident table: only the flat path scales
-        config.kernel_type = KernelType.SCALAR_CSR
-    elif stats.avg_nnz_per_row < AVG_NNZ_SCALAR_THRESHOLD:
+    if stats.avg_nnz_per_row < AVG_NNZ_SCALAR_THRESHOLD:
         config.kernel_type = KernelType.SCALAR_CSR
     elif stats.skewness < SKEWNESS_VECTOR_THRESHOLD:
         config.kernel_type = KernelType.VECTOR_CSR
