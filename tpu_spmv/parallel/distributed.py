@@ -18,8 +18,10 @@ insert collectives):
   default for that class) or **ring-exchanged** (round 3,
   :func:`shard_csr_ring` / :func:`spmv_csr_ring`): x stays row-sharded,
   each shard packs the slice of its block other shards reference, and
-  the packed slices rotate via ``lax.ppermute`` overlapped with per-pair
-  packed kernels — see :func:`ring_traffic_report` and docs/TRAFFIC.md;
+  the packed slices rotate via ``lax.ppermute`` between per-pair packed
+  kernels (hiding the hops behind compute is a real-ICI property —
+  ``benchmarks/overlap.py`` records the measured budget) — see
+  :func:`ring_traffic_report` and docs/TRAFFIC.md;
 * each device runs the **full packed Pallas kernel** on its row block
   (:func:`shard_csr_packed` / :func:`spmv_csr_sharded_packed`; the flat
   gather+segment-sum pair :func:`shard_csr` / :func:`spmv_csr_sharded`
@@ -591,9 +593,12 @@ def spmv_csr_sharded_packed(sp: ShardedWindowEll, x,
 # never travel), and the packed slices rotate around the mesh with
 # ``lax.ppermute`` while each shard runs the packed Pallas kernel on
 # the block-pair plan for the slice it currently holds — the classic
-# ring SpMV, with communication overlapped against compute by XLA's
-# async collectives.  See :func:`ring_traffic_report` for the byte
-# model that decides when this beats replication.
+# ring SpMV.  Whether XLA's async collectives actually hide the hops
+# behind compute is a REAL-ICI property this environment cannot time;
+# ``benchmarks/overlap.py`` records the measured single-chip floor and
+# the ICI hiding budget (hop bytes / link bandwidth vs pair-kernel
+# time), and :func:`ring_traffic_report` gives the byte model that
+# decides when this beats replication.
 
 
 @jax.tree_util.register_pytree_node_class
@@ -765,8 +770,9 @@ def ring_traffic_report(rs: RingShardedCSR) -> dict:
     * ``replicate``: all-gather of x before compute — each device
       receives the other shards' blocks ((n-1)/n of x), serialized
       before any flop.
-    * ``ring``: n-1 ppermute hops of the PACKED slice, each overlapped
-      with the previous step's kernel.
+    * ``ring``: n-1 ppermute hops of the PACKED slice (hideable behind
+      the per-step kernels when the ICI budget allows — measured in
+      ``benchmarks/overlap.py``).
     * ``ideal_pairwise``: lower bound if every (shard, source) pair
       shipped exactly its own footprint (all-to-all).
     """
@@ -787,7 +793,6 @@ def ring_traffic_report(rs: RingShardedCSR) -> dict:
         "ideal_pairwise_bytes": int(ideal),
         "compression": float(replicate / max(ring, 1)),
         "ring_wins": bool(ring < replicate),
-        "overlapped": True,
     }
 
 
