@@ -47,7 +47,7 @@ def main() -> int:
     from tpu_spmv.bandwidth import measured_stream_bandwidth
     from tpu_spmv.csr import CSRMatrix
     from tpu_spmv.kernels.window_ell import WindowEllPlan, spmv_window_ell
-    from tpu_spmv.spmv import MERGE_SPLIT_ROWS, _resolve_csr_kernel
+    from tpu_spmv.spmv import MERGE_SPLIT_ROWS
     from tpu_spmv.timing import time_jitted
     from tpu_spmv.utils.testing import RandomGenerator, spmv_matches
 
@@ -195,10 +195,15 @@ def main() -> int:
         f"(byte model), {gflops:.2f} GFLOP/s, "
         f"{csr.nnz/secs/1e9:.2f} Gnnz/s")
 
-    # scalar path for comparison
-    fn, args = _resolve_csr_kernel(csr, KernelType.SCALAR_CSR, SpMVConfig())
-    secs_scalar = time_jitted(lambda d, v: fn(d, v), *args, x, iters=3)
-    log(f"scalar spmv:     {secs_scalar*1e3:.3f} ms "
+    # flat XLA path for comparison (the universal last-resort floor;
+    # the SCALAR_CSR kernel type itself now dispatches to the naive
+    # packed layout — benchmarks/fallback_bench.py measures that)
+    from tpu_spmv.spmv import _scalar_entry
+
+    dcsr = csr.to_device(dev)
+    secs_scalar = time_jitted(lambda d, v: _scalar_entry(d, v), dcsr, x,
+                              iters=3)
+    log(f"flat-path spmv:  {secs_scalar*1e3:.3f} ms "
         f"({model_bytes/secs_scalar/1e9:.2f} GB/s) -> "
         f"merge-path speedup {secs_scalar/secs:.1f}x")
 

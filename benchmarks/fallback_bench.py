@@ -1,0 +1,149 @@
+"""Fallback-path bandwidth — the paths served when the primary packed
+plan is unavailable (VERDICT r03 missing #1/#2: these used to be the
+0.32 GB/s flat cliff).
+
+Measures, on the real TPU:
+
+1. **Composite** on the 10M-nnz headline matrix — what a guard
+   rejection of the single/banded builders serves (the "packed path
+   disabled" case).
+2. **Column strips** on a matrix wider than the packed cap (4M cols) —
+   what `num_cols > PACKED_MAX_COLS` serves.
+3. **Flat XLA path** on the same wide matrix — the last-resort floor,
+   for the speedup context.
+
+Usage: python benchmarks/fallback_bench.py [--out FILE]  (real TPU,
+~10 min: two plan builds + uploads)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _bm(rows, cols, nnz):
+    return nnz * 8 + (rows + 1) * 4 + cols * 4 + rows * 4
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", type=str, default=None)
+    args = ap.parse_args(argv)
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/root/.cache/jax_comp_cache")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpu_spmv import native as _native
+
+    _native.require()
+    from tpu_spmv.csr import CSRMatrix
+    from tpu_spmv.kernels.strips import build_strips
+    from tpu_spmv.kernels.window_ell import build_composite, spmv_composite
+    from tpu_spmv.spmv import _scalar_entry
+    from tpu_spmv.timing import time_jitted
+    from tpu_spmv.utils.testing import RandomGenerator, spmv_matches
+
+    dev = jax.devices()[0]
+    cpu0 = jax.local_devices(backend="cpu")[0]
+    print(f"device: {dev.device_kind}", file=sys.stderr, flush=True)
+    rng = RandomGenerator(42)
+    out = {}
+
+    # ---- 1. composite on the headline (forced-guard fallback) ----
+    csr = rng.power_law_csr(262144, 4096, avg_nnz=40.0, alpha=1.6)
+    x = jnp.asarray(rng.vector(4096))
+    t0 = time.time()
+    cp = build_composite(csr, split_rows=128, device=cpu0)
+    cp = jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(cp),
+        [jax.device_put(np.asarray(a), dev)
+         for a in jax.tree_util.tree_leaves(cp)])
+    ok = spmv_matches(np.asarray(spmv_composite(cp, x)), csr,
+                      np.asarray(x), rel_tol=1e-5)
+    s = time_jitted(spmv_composite, cp, x, iters=200, samples=5,
+                    estimator="median")
+    gbs = _bm(262144, 4096, csr.nnz) / s / 1e9
+    out["composite_headline"] = {
+        "levels": len(cp.plans), "tail": cp.tail is not None,
+        "correct": bool(ok), "t_us": s * 1e6, "gb_s": gbs,
+        "build_s": time.time() - t0}
+    print(f"composite headline: {len(cp.plans)} levels, ok={ok}, "
+          f"{s*1e6:.1f} us = {gbs:.1f} GB/s", file=sys.stderr, flush=True)
+
+    # ---- 1b. the naive packed layout (public SCALAR_CSR dispatch) on a
+    # quarter-headline matrix (kept modest: naive plans trade occupancy
+    # for simplicity, and upload rides the 45 MB/s tunnel) ----
+    from tpu_spmv.kernels.window_ell import WindowEllPlan, spmv_window_ell
+
+    small = rng.power_law_csr(65536, 4096, avg_nnz=40.0, alpha=1.6)
+    xs = jnp.asarray(rng.vector(4096))
+    t0 = time.time()
+    np_plan = WindowEllPlan.build(small, split_rows=None, spill_beta=0.0,
+                                  cap_margin=1e9, device=cpu0)
+    np_dev = np_plan.to_device(dev)
+    ok_n = spmv_matches(np.asarray(spmv_window_ell(np_dev, xs)), small,
+                        np.asarray(xs), rel_tol=1e-5)
+    s_n = time_jitted(spmv_window_ell, np_dev, xs, iters=100, samples=5,
+                      estimator="median")
+    gbs_n = _bm(65536, 4096, small.nnz) / s_n / 1e9
+    out["naive_scalar_64k"] = {
+        "groups": int(np_plan.n_groups),
+        "occupancy": float(np_plan.occupancy), "correct": bool(ok_n),
+        "t_us": s_n * 1e6, "gb_s": gbs_n, "build_s": time.time() - t0}
+    print(f"naive scalar 64K: groups={np_plan.n_groups} "
+          f"occ={np_plan.occupancy:.3f} ok={ok_n} {s_n*1e6:.1f} us = "
+          f"{gbs_n:.1f} GB/s", file=sys.stderr, flush=True)
+
+    # ---- 2. strips on a 4M-col matrix (beyond the packed cap) ----
+    rows, cols, k = 65536, 1 << 22, 40
+    base_r = np.repeat(np.arange(rows, dtype=np.int64), k)
+    cc = rng.rng.integers(0, cols, size=len(base_r))
+    order = np.lexsort((cc, base_r))
+    rp = np.arange(rows + 1, dtype=np.int32) * k
+    wide = CSRMatrix(rows, cols, rng.vector(rows * k).astype(np.float32),
+                     cc[order].astype(np.int32), rp)
+    xw_h = rng.vector(cols)
+    xw = jax.device_put(jnp.asarray(xw_h), dev)
+    t0 = time.time()
+    fn, sp = build_strips(wide, device=cpu0)
+    sp = jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(sp),
+        [jax.device_put(np.asarray(a), dev)
+         for a in jax.tree_util.tree_leaves(sp)])
+    ok_w = spmv_matches(np.asarray(fn(sp, xw)), wide, xw_h, rel_tol=1e-5)
+    s_w = time_jitted(fn, sp, xw, iters=100, samples=5,
+                      estimator="median")
+    gbs_w = _bm(rows, cols, wide.nnz) / s_w / 1e9
+    out["strips_4m_cols"] = {
+        "strips": len(sp.plans), "nnz": wide.nnz, "correct": bool(ok_w),
+        "t_us": s_w * 1e6, "gb_s": gbs_w, "build_s": time.time() - t0}
+    print(f"strips 4M cols: {len(sp.plans)} strips, ok={ok_w}, "
+          f"{s_w*1e6:.1f} us = {gbs_w:.1f} GB/s", file=sys.stderr,
+          flush=True)
+
+    # ---- 3. flat XLA floor on the same wide matrix ----
+    dw = wide.to_device(dev)
+    s_f = time_jitted(lambda d, v: _scalar_entry(d, v), dw, xw, iters=3)
+    gbs_f = _bm(rows, cols, wide.nnz) / s_f / 1e9
+    out["flat_4m_cols"] = {"t_us": s_f * 1e6, "gb_s": gbs_f,
+                           "speedup_strips_vs_flat": s_f / s_w}
+    print(f"flat 4M cols: {s_f*1e3:.1f} ms = {gbs_f:.2f} GB/s "
+          f"-> strips speedup {s_f/s_w:.0f}x", file=sys.stderr, flush=True)
+
+    print(json.dumps(out))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -142,3 +142,49 @@ class TestStripPlanIO:
         y1 = np.asarray(fn(sp, x))
         y2 = np.asarray(spmv_strips(sp2, x))
         assert np.array_equal(y1, y2)
+
+
+class TestGuardRejectionPath:
+    def test_guard_rejection_serves_composite_not_flat(self, rng,
+                                                       monkeypatch):
+        """When the single/banded builders reject a structure, dispatch
+        must land on the multi-level composite (device-speed packed
+        kernels), NOT the flat XLA path — the round-3 '0.32 GB/s cliff'
+        (VERDICT r03 missing #1)."""
+        import tpu_spmv.kernels.window_ell as W
+        from tpu_spmv.kernels.window_ell import spmv_composite
+        from tpu_spmv.spmv import _resolve_csr_kernel, _scalar_entry
+
+        m = rng.power_law_csr(4096, 1024, avg_nnz=10, alpha=1.6)
+        x = rng.vector(1024)
+
+        def boom(*a, **k):
+            raise W.WindowEllOverflow("forced guard rejection")
+
+        monkeypatch.setattr(W, "build_auto", boom)
+        cfg = SpMVConfig(kernel_type=KernelType.MERGE_PATH, block_size=16)
+        fn, args = _resolve_csr_kernel(m, KernelType.MERGE_PATH, cfg)
+        assert fn is spmv_composite
+        assert fn is not _scalar_entry
+        r = spmv_csr(m, x, cfg)
+        assert r.error_code == 0
+        assert spmv_matches(np.asarray(r.y), m, x, rel_tol=1e-5)
+
+    def test_scalar_kernel_type_serves_naive_packed(self, rng):
+        """KernelType.SCALAR_CSR dispatches to the naive packed layout
+        (no split/spill extras), not the flat XLA path (VERDICT r03 C7);
+        the plan carries no extras machinery and matches the oracle."""
+        from tpu_spmv.kernels.window_ell import (WindowEllPlan,
+                                                 spmv_window_ell)
+        from tpu_spmv.spmv import _resolve_csr_kernel
+
+        m = rng.power_law_csr(2048, 1024, avg_nnz=10, alpha=1.6)
+        x = rng.vector(1024)
+        cfg = SpMVConfig(kernel_type=KernelType.SCALAR_CSR, block_size=16)
+        fn, (plan,) = _resolve_csr_kernel(m, KernelType.SCALAR_CSR, cfg)
+        assert fn is spmv_window_ell
+        assert isinstance(plan, WindowEllPlan)
+        assert plan.n_extra == 0          # naive: no splits, no spill
+        r = spmv_csr(m, x, cfg)
+        assert r.error_code == 0
+        assert spmv_matches(np.asarray(r.y), m, x, rel_tol=1e-5)

@@ -10,10 +10,15 @@ entirely in XLA: a device gather over the padded nnz extent, an elementwise
 multiply, and a sorted deterministic scatter-add keyed by the per-nnz row
 ids that :class:`~tpu_spmv.csr.DeviceCSR` precomputes at transfer time.
 
-Like the reference scalar kernel, this is the slowest but most general
-variant: it has no preprocessing, no VMEM residency requirement, and no
-limit on ``num_cols`` — the selector (C6) uses it as the fallback for
-matrices the packed Pallas kernels don't fit.
+This flat composition is the UNIVERSAL floor: no preprocessing, no VMEM
+residency requirement, no limit on ``num_cols`` — but XLA's TPU gather/
+scatter run ~0.1 Gelem/s, so it is ~3 orders below the packed kernels.
+Since round 4 the public ``KernelType.SCALAR_CSR`` therefore dispatches
+to the NAIVE packed layout (lane-per-row window-ELL with the spill/split
+machinery disabled — the honest TPU analog of the reference's simple
+one-thread-per-row device kernel) and this module serves only the last
+resort: structures every packed layout rejects, and the interpret-mode
+oracle comparisons.
 """
 
 from __future__ import annotations
