@@ -311,3 +311,20 @@ class TestBandedPlans:
         fn, plan = we.build_auto(m)
         assert plan.n_groups > 0 and est > 0
         assert 0.6 <= est / plan.n_groups <= 1.8, (s, est, plan.n_groups)
+
+
+class TestSupSelectionSkewClass:
+    def test_skewed_dense_buckets_choose_narrow(self, rng):
+        """Round-4 regression (PERF_PROPS r4 first run): the sampled
+        cost model does not see row splitting or row→lane leveling, so
+        a skew-585 power-law matrix at narrow bucket depth ~7 was
+        priced onto the wide fori path (138 µs) when the narrow
+        unrolled path runs it at ~59 µs.  Dense narrow buckets
+        (depth >= 2) must short-circuit to narrow."""
+        m = rng.power_law_csr(131072, 4096, avg_nnz=32.0, alpha=1.2)
+        assert m.compute_stats().skewness > 100
+        assert _choose_sup(m) == SUP_LEVELS[0]
+
+    def test_web_graph_still_chooses_wide(self, rng):
+        g = web_graph_csr(rng, 262144, 262144, avg_nnz=15)
+        assert _choose_sup(g) > SUP_LEVELS[0]

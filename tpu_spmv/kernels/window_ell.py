@@ -1038,8 +1038,17 @@ def _choose_sup(csr: CSRMatrix, with_groups: bool = False):
     n_windows = cols_pad // WINDOW
     n_sups0 = -(-max(csr.num_rows, 1) // SUP_LEVELS[0])
     # short-circuit: when narrow (1024-row) buckets are already deep, the
-    # narrow mode always wins (wider superblocks only add scatter targets)
-    if nnz / (n_sups0 * n_windows * (CHUNKS * LANE)) >= 8.0:
+    # narrow mode always wins (wider superblocks only add scatter
+    # targets).  Threshold 2.0 (round 4, was 8.0): at mean bucket depth
+    # >= 2 the narrow realized occupancy is >= ~0.25, so narrow costs
+    # <= ~36 ps/nnz while sup=4096's fori scatter floor is ~50 even at
+    # occupancy 0.5 — and the sampled model below does NOT see row
+    # splitting or row→lane leveling, both of which specifically shrink
+    # narrow plans on skewed structure (measured: the 131K/skew-585
+    # perf-property matrix at depth 7.15 built 6.5K narrow groups
+    # ≈ 59 µs vs the model's wide pick at 138 µs — the model
+    # over-priced narrow ~4x and flipped the choice).
+    if nnz / (n_sups0 * n_windows * (CHUNKS * LANE)) >= 2.0:
         return (SUP_LEVELS[0], 0) if with_groups else SUP_LEVELS[0]
     # Sample WHOLE SUPERBLOCKS (all nonzeros of every m-th sup row band)
     # rather than striding nonzeros: the model mirrors the builder's
