@@ -94,7 +94,13 @@ def main() -> int:
     candidates = []
     fingerprints = {}
     for perm in (False, True):
-        for S in ((8, 16) if smoke else (128, 384)):
+        # leveled plans get the S=256 middle width too: S=128 wins the
+        # fast device state, S=384 the slow one, S=256 is within ~8% of
+        # both (docs/PERF.md step-width section) — a state-insensitive
+        # hedge costing one extra build
+        widths = (8, 16) if smoke else ((128, 256, 384) if perm
+                                        else (128, 384))
+        for S in widths:
             try:
                 ph = WindowEllPlan.build(
                     csr, split_rows=MERGE_SPLIT_ROWS, step_groups=S,
