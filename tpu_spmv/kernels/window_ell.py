@@ -276,7 +276,10 @@ class WindowEllPlan:
     kernel's output block.
     """
 
-    vals: jax.Array          # f32 (n_groups_pad*8, 128); None for
+    vals: jax.Array          # f32 — or bf16 under ``values_dtype``, the
+    #   opt-in half-width value stream (5.5 → 3.5 B/slot; products
+    #   convert to f32 in-kernel, accumulation stays f32; ~4e-3 rel
+    #   value error) — (n_groups_pad*8, 128); None for
     #   PATTERN plans (``pat``): every stored nonzero is implicitly 1.0
     #   and the vals stream is not uploaded or read at all — per-slot
     #   stream drops 5.5 -> 1.5 B.  Pad slots, which zero values would
@@ -343,7 +346,8 @@ class WindowEllPlan:
         """Actual bytes one kernel invocation streams from HBM (packed
         slot arrays + gather/output tables + the unpermute pass) — the
         physics-guard denominator for benchmark readings."""
-        per_slot = (0.0 if self.pat else 4.0) + 1.0 \
+        per_slot = (0.0 if self.pat
+                    else float(np.dtype(self.vals.dtype).itemsize)) + 1.0 \
             + (0.5 if self.sbn else 1.0)
         b = self.n_groups * CHUNKS * LANE * per_slot \
             + (self.cols_pad + (self.e8 + self.out8) * LANE) * 4
@@ -419,7 +423,8 @@ class WindowEllPlan:
               max_inflation: float = 64.0, sup: int | None = None,
               spill_beta: float | None = None, device=None,
               permute_rows: bool = False,
-              pattern: bool = False) -> "WindowEllPlan":
+              pattern: bool = False,
+              values_dtype=np.float32) -> "WindowEllPlan":
         """Pack a host CSR matrix into the window-ELL layout (vectorized).
 
         ``pattern=True`` builds a PATTERN plan: ``csr.values`` are
@@ -450,7 +455,7 @@ class WindowEllPlan:
             return WindowEllPlan._build(
                 csr, split_rows, step_groups, slack, cap_margin,
                 spill_rounds, max_inflation, sup, spill_beta, device,
-                permute_rows, pattern)
+                permute_rows, pattern, values_dtype)
         start = _choose_sup(csr)
         err = None
         for s in SUP_LEVELS[SUP_LEVELS.index(start):]:
@@ -464,7 +469,7 @@ class WindowEllPlan:
                 return WindowEllPlan._build(
                     csr, split_rows, step_groups, slack, cap_margin,
                     spill_rounds, max_inflation, s, spill_beta, device,
-                    permute_rows, pattern)
+                    permute_rows, pattern, values_dtype)
             except WindowEllOverflow as e:
                 err = e
         raise err
@@ -473,7 +478,8 @@ class WindowEllPlan:
     def _build(csr: CSRMatrix, split_rows, step_groups, cap_slack,
                cap_margin, spill_rounds, max_inflation, sup, spill_beta,
                device, permute_rows: bool = False,
-               pattern: bool = False) -> "WindowEllPlan":
+               pattern: bool = False,
+               values_dtype=np.float32) -> "WindowEllPlan":
         sup_rows = sup           # scalar superblock height; ``sup`` below
         del sup                  # is reused for per-nnz superblock ids
         if spill_beta is None:
@@ -989,6 +995,13 @@ class WindowEllPlan:
         from ..errors import guarded_device_put
 
         put = lambda a: guarded_device_put(a, device)  # noqa: E731
+        if not pattern and np.dtype(values_dtype) != np.float32:
+            # opt-in half-width value stream (bf16 is the TPU-native
+            # reduced dtype): 5.5 → 3.5 B/slot and half the plan HBM/
+            # upload footprint; the kernel converts to f32 at load and
+            # accumulates in f32 (~4e-3 relative value error).  Cast
+            # LAST so the pad-sentinel logic above sees exact zeros.
+            vals = vals.astype(jnp.bfloat16)
         return WindowEllPlan(
             vals=None if pattern else put(vals),
             lo=put(lo),
@@ -1167,7 +1180,12 @@ def _build_pallas(n_steps: int, S: int, out8: int, cols8: int, e8: int,
             if not isinstance(q, int):   # fori path: alignment hint
                 qs = pl.multiple_of(qs, T * CHUNKS)
             lo_q = lo_ref[pl.ds(qs, T * CHUNKS), :].astype(jnp.int32)
-            v_q = None if pat else v_ref[pl.ds(qs, T * CHUNKS), :]
+            # f32 at load (no-op for f32 streams; bf16 value streams
+            # convert once per block — the (T*CHUNKS)=128-row slice is
+            # bf16-tile-aligned, and downstream 8-row slices then work
+            # on f32 tiles)
+            v_q = None if pat \
+                else v_ref[pl.ds(qs, T * CHUNKS), :].astype(jnp.float32)
             # int32 for the target compares: v5e rejects i8 vector compares
             if sbn:
                 # nibble-packed sb: group pair 2t/2t+1 shares a vreg; the
@@ -1616,7 +1634,8 @@ def build_banded(csr: CSRMatrix, sup: int, n_bands: int | None = None,
                  cap_slack: int | None = None,
                  spill_beta: float | None = None,
                  device=None, permute_rows: bool = False,
-                 pattern: bool = False) -> BandedPlan:
+                 pattern: bool = False,
+                 values_dtype=np.float32) -> BandedPlan:
     """Build a :class:`BandedPlan` at the given superblock height.
 
     ``n_bands=None`` sizes the bands adaptively: a first full-matrix
@@ -1634,7 +1653,8 @@ def build_banded(csr: CSRMatrix, sup: int, n_bands: int | None = None,
     """
     kw = dict(split_rows=split_rows, step_groups=step_groups,
               cap_slack=cap_slack, spill_beta=spill_beta, device=device,
-              permute_rows=permute_rows, pattern=pattern)
+              permute_rows=permute_rows, pattern=pattern,
+              values_dtype=values_dtype)
     if n_bands is None:
         try:
             p = WindowEllPlan.build(csr, sup=sup, **kw)
@@ -1712,7 +1732,7 @@ def build_auto(csr: CSRMatrix, split_rows: int | None = None,
                step_groups: int | None = None,
                choice: tuple | None = None,
                device=None, permute_rows: bool | None = None,
-               pattern: bool = False):
+               pattern: bool = False, values_dtype=np.float32):
     """Resolve the best packed layout for ``csr``: a single
     :class:`WindowEllPlan` when it fits, else a :class:`BandedPlan` at
     the cost-model superblock before escalating to wider superblocks.
@@ -1753,13 +1773,15 @@ def build_auto(csr: CSRMatrix, split_rows: int | None = None,
                     csr, sup=s, n_bands=nb0, split_rows=split,
                     step_groups=step_groups, cap_slack=slack,
                     spill_beta=beta, device=device,
-                    permute_rows=permute_rows, pattern=pattern)
+                    permute_rows=permute_rows, pattern=pattern,
+                    values_dtype=values_dtype)
                 return (spmv_banded, bp) if len(bp.plans) > 1 \
                     else (spmv_window_ell, bp.plans[0])
             p = WindowEllPlan.build(
                 csr, split_rows=split, step_groups=step_groups,
                 cap_slack=slack, sup=s, spill_beta=beta, device=device,
-                permute_rows=permute_rows, pattern=pattern)
+                permute_rows=permute_rows, pattern=pattern,
+                values_dtype=values_dtype)
             return spmv_window_ell, p
         except WindowEllOverflow as e:
             err = e
@@ -1777,7 +1799,8 @@ def build_auto(csr: CSRMatrix, split_rows: int | None = None,
                     csr, sup=s, n_bands=nb, split_rows=split,
                     step_groups=step_groups, cap_slack=slack,
                     spill_beta=beta, device=device,
-                    permute_rows=permute_rows, pattern=pattern)
+                    permute_rows=permute_rows, pattern=pattern,
+                    values_dtype=values_dtype)
                 return spmv_banded, bp
             except WindowEllOverflow as e2:
                 err = e2

@@ -38,7 +38,13 @@ def _window_entry(plan, prefix: str, arrays: dict, meta: dict) -> None:
         a = getattr(plan, name)
         if a is None:       # vals is absent on pattern plans
             continue
-        arrays[prefix + name] = np.asarray(a)
+        a = np.asarray(a)
+        if a.dtype == jnp.bfloat16:
+            # npz cannot store ml_dtypes — persist the raw bits with a
+            # dtype tag (bf16 value streams, round 4)
+            meta[prefix + name + "_dtype"] = "bfloat16"
+            a = a.view(np.uint16)
+        arrays[prefix + name] = a
     if plan.lam is not None:  # optional leaf: permute_rows plans only
         arrays[prefix + "lam"] = np.asarray(plan.lam)
     meta[prefix + "aux"] = {k: getattr(plan, k) for k in _WINDOW_AUX}
@@ -50,9 +56,16 @@ def _window_from(prefix: str, z, meta: dict, put):
 
     aux = meta[prefix + "aux"]
     names = getattr(z, "files", z)
-    leaves = {n: put(jnp.asarray(z[prefix + n]))
-              if prefix + n in names else None
-              for n in _WINDOW_LEAVES}
+
+    def _leaf(n):
+        if prefix + n not in names:
+            return None
+        a = z[prefix + n]
+        if meta.get(prefix + n + "_dtype") == "bfloat16":
+            a = np.asarray(a).view(jnp.bfloat16)
+        return put(jnp.asarray(a))
+
+    leaves = {n: _leaf(n) for n in _WINDOW_LEAVES}
     if leaves["vals"] is None and not aux.get("pat"):
         raise InvalidFormatError(
             "plan file lacks the vals stream but is not a pattern plan")

@@ -90,6 +90,13 @@ class SpMVConfig:
     # streams no f32 values (5.5 → 1.5 B/slot).  Falls back silently to
     # the generic packed path when the factorization does not hold.
     pattern: bool = False
+    # TPU-native knob (no reference counterpart): store the value stream
+    # as bfloat16 — the TPU's native reduced dtype — halving the
+    # dominant per-slot stream (5.5 → 3.5 B) and the plan's HBM/upload
+    # footprint.  Products convert to f32 in-kernel and accumulation
+    # stays f32, so the error is ~4e-3 relative on the VALUES only.
+    # OPT-IN: the default keeps the reference's exact-f32 semantics.
+    bf16_values: bool = False
 
     @property
     def step_groups(self) -> int | None:
@@ -120,16 +127,21 @@ def spmv_validate_dimensions(num_cols: int, vec_size: int) -> bool:
 
 
 def _plan_for(A: CSRMatrix, kernel_type: KernelType,
-              step_groups: int | None):
+              step_groups: int | None, bf16_values: bool = False):
     """Resolve (kernel_fn, plan) for the packed path.
 
     Dense-enough matrices get a single narrow-superblock plan; wide
     sparse ones (where the cost model picks a wide superblock) get the
     multi-level composite layout (see ``window_ell.CompositePlan``)."""
+    import numpy as _np
+
+    import jax.numpy as _jnp
+
     from .kernels.window_ell import (
         _choose_sup, build_auto, build_composite, spmv_composite)
 
-    key = (int(kernel_type), step_groups)
+    vdt = _jnp.bfloat16 if bf16_values else _np.float32
+    key = (int(kernel_type), step_groups, bf16_values)
     if key not in A._plan_cache:
         split = MERGE_SPLIT_ROWS if kernel_type == KernelType.MERGE_PATH \
             else None
@@ -147,12 +159,14 @@ def _plan_for(A: CSRMatrix, kernel_type: KernelType,
             try:
                 A._plan_cache[key] = build_auto(
                     A, step_groups=step_groups, split_rows=split,
-                    choice=A._plan_cache["_sup"])
+                    choice=A._plan_cache["_sup"], values_dtype=vdt)
                 return A._plan_cache[key]
             except WindowEllOverflow:
                 pass
         # x wider than one resident block, or the single plan overflowed:
         # the multi-level composite splits the mass across plans
+        # (composite levels keep f32 values — the bf16 knob serves the
+        # single/banded hot path)
         A._plan_cache[key] = (
             spmv_composite,
             build_composite(A, step_groups=step_groups, split_rows=split))
@@ -310,7 +324,8 @@ def _resolve_csr_kernel(A: CSRMatrix, kernel_type: KernelType,
                 resolved = _resolve_pattern(A, kernel_type, config)
                 if resolved is not None:
                     return resolved
-            fn, plan = _plan_for(A, kernel_type, config.step_groups)
+            fn, plan = _plan_for(A, kernel_type, config.step_groups,
+                                 config.bf16_values)
             return fn, (plan,)
         # x wider than the packed cap: column strips — each strip is a
         # VMEM-feasible column range served by the full packed machinery,
