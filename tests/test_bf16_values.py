@@ -96,3 +96,20 @@ class TestBf16Values:
                                 permute_rows=True)
         assert p.lam is not None and p.vals.dtype == jnp.bfloat16
         _check_bf16(np.asarray(spmv_window_ell(p, jnp.asarray(x))), m, x)
+
+
+class TestBf16Sharded:
+    def test_sharded_bf16_matches_within_rounding(self, rng):
+        import jax
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs the virtual multi-device mesh")
+        from tpu_spmv.parallel import (make_row_mesh, shard_csr_packed,
+                                       spmv_csr_sharded_packed)
+
+        mesh = make_row_mesh(4)
+        m = rng.power_law_csr(2048, 1024, avg_nnz=10, alpha=1.6)
+        x = rng.vector(1024)
+        sp = shard_csr_packed(m, mesh, values_dtype=jnp.bfloat16)
+        y = np.asarray(spmv_csr_sharded_packed(sp, x, mesh))
+        _check_bf16(y, m, x)

@@ -462,7 +462,8 @@ def _stack_plans(plans, rps: int, num_cols: int):
 def shard_csr_packed(A: CSRMatrix, mesh: Mesh, axis_name: str = "rows",
                      split_rows: int | None = 128,
                      pattern: bool = False,
-                     permute_rows: bool = False) -> ShardedWindowEll:
+                     permute_rows: bool = False,
+                     values_dtype=np.float32) -> ShardedWindowEll:
     """Partition rows over ``mesh`` and pack each block with the window-ELL
     planner.  Raises :class:`WindowEllOverflow` (propagated) if any shard's
     structure rejects the packed layout — callers fall back to
@@ -507,7 +508,8 @@ def shard_csr_packed(A: CSRMatrix, mesh: Mesh, axis_name: str = "rows",
                         A.col_indices[lo:hi], local_ptr)
         plans.append(WindowEllPlan.build(sub, split_rows=split_rows,
                                          sup=sup, pattern=pattern,
-                                         permute_rows=permute_rows))
+                                         permute_rows=permute_rows,
+                                         values_dtype=values_dtype))
 
     stacked, plan_aux = _stack_plans(plans, rps, A.num_cols)
     leaves = tuple(
