@@ -203,3 +203,38 @@ def test_packer_fuzz_banded(rng):
         assert spmv_matches(y, csr, x, rel_tol=1e-5), \
             (trial, kind, rows, cols, nb)
     assert tested >= 10
+
+
+def test_packer_fuzz_bf16_values(rng):
+    """bf16 value streams (round 4) compose with split/sup/leveling;
+    the error budget is per-row bf16 value rounding (row-mass metric —
+    a plain relative check explodes on cancellation near zero)."""
+    import jax.numpy as jnp
+
+    r = rng.rng
+    tested = 0
+    for trial in range(12):
+        kind = int(r.integers(0, 5))
+        rows = int(r.integers(256, 4000))
+        cols = int(r.integers(128, 3000))
+        csr = _matrix(r, kind, rows, cols)
+        try:
+            plan = WindowEllPlan.build(
+                csr, split_rows=[None, 128][int(r.integers(0, 2))],
+                sup=[None, 1024][int(r.integers(0, 2))],
+                permute_rows=bool(r.integers(0, 2)),
+                values_dtype=jnp.bfloat16)
+        except WindowEllOverflow:
+            continue
+        tested += 1
+        x = r.uniform(-3, 3, cols).astype(np.float32)
+        y = np.asarray(spmv_window_ell(plan, x))
+        yref = np.zeros(csr.num_rows, np.float32)
+        rl = np.diff(csr.row_ptrs)
+        idx = np.repeat(np.arange(csr.num_rows), rl)
+        np.add.at(yref, idx, csr.values * x[csr.col_indices])
+        mass = np.zeros(csr.num_rows, np.float32)
+        np.add.at(mass, idx, np.abs(csr.values * x[csr.col_indices]))
+        assert np.all(np.abs(y - yref) <= 5e-3 * mass + 1e-4), \
+            (trial, kind, rows, cols)
+    assert tested >= 6
