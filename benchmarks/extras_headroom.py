@@ -32,14 +32,14 @@ import numpy as np  # noqa: E402
 
 sys.path.insert(0, ".")
 from tpu_spmv.kernels.window_ell import (  # noqa: E402
-    CHUNKS, LANE, T_BASE, WindowEllPlan)
+    CHUNKS, LANE, WindowEllPlan)
 from tpu_spmv.utils.testing import RandomGenerator  # noqa: E402
 
 
 def headroom_report(p: WindowEllPlan) -> None:
     n_tb = p.sup // LANE
     base = np.asarray(p.base)
-    g_sup = np.repeat(base // n_tb, T_BASE)
+    g_sup = np.repeat(base // n_tb, p.tb)
     wg = np.asarray(p.wg)[: len(g_sup)]
     vals = np.asarray(p.vals).reshape(-1, CHUNKS, LANE)[: len(g_sup)]
     placed_cl = vals != 0.0                      # (groups, chunk, lane)

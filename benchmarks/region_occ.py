@@ -22,15 +22,15 @@ import numpy as np  # noqa: E402
 
 sys.path.insert(0, ".")
 from tpu_spmv.kernels.window_ell import (  # noqa: E402
-    CHUNKS, LANE, T_BASE, WindowEllPlan)
+    CHUNKS, LANE, WindowEllPlan)
 from tpu_spmv.utils.testing import RandomGenerator  # noqa: E402
 
 
 def region_report(p: WindowEllPlan, label: str = "") -> dict:
     n_tb = p.sup // LANE
-    base = np.asarray(p.base)            # per-T_BASE-run sup * n_tb
+    base = np.asarray(p.base)            # per-scatter-run sup * n_tb
     sup_of_run = base // n_tb
-    g_sup = np.repeat(sup_of_run, T_BASE)
+    g_sup = np.repeat(sup_of_run, p.tb)
     vals = np.asarray(p.vals).reshape(-1, CHUNKS, LANE)
     placed = (vals != 0.0).reshape(len(g_sup), -1).sum(axis=1)
     extras_sup0 = p.extras_base // p.sup

@@ -45,19 +45,22 @@ def test_packer_fuzz(rng):
             cols = int(r.integers(1, 2500))
         csr = _matrix(r, kind, rows, cols)
         split = [None, 32, 128][int(r.integers(0, 3))]
-        # fuzz the round-3 levers too: leveling composes with every
-        # other knob; pattern runs against the unit-valued oracle
+        # fuzz the round-3/4 levers too: leveling composes with every
+        # other knob; pattern runs against the unit-valued oracle; the
+        # scatter-run length (t_base) pairs layout and kernel fold
         perm = bool(r.integers(0, 2))
         pattern = bool(r.integers(0, 4) == 0)
+        t_base = [2, 4, 8][int(r.integers(0, 3))]
         try:
             plan = WindowEllPlan.build(
                 csr, split_rows=split,
                 spill_rounds=int(r.integers(1, 4)),
                 cap_margin=float(r.uniform(0.1, 0.6)),
                 sup=[None, 1024, 4096][int(r.integers(0, 3))],
-                permute_rows=perm, pattern=pattern)
+                permute_rows=perm, pattern=pattern, t_base=t_base)
         except WindowEllOverflow:
             continue
+        assert plan.tb == t_base
         tested += 1
         oracle = csr if not pattern else CSRMatrix(
             csr.num_rows, csr.num_cols,

@@ -186,3 +186,40 @@ def test_pattern_plan_roundtrip(tmp_path, rng):
     x = rng.vector(800)
     assert spmv_matches(np.asarray(spmv_window_ell(loaded, x)), unit, x,
                         rel_tol=1e-5)
+
+
+def test_t_base_roundtrip_and_legacy_default(tmp_path, rng):
+    """The scatter-run length (tb, round 4) survives save/load; plan
+    files written before the field existed load with the default run
+    length (the aux dict merges as keyword arguments)."""
+    import json
+
+    import numpy as np
+
+    from tpu_spmv.kernels.window_ell import (T_BASE, WindowEllPlan,
+                                             spmv_window_ell)
+    from tpu_spmv.utils.testing import spmv_matches
+
+    csr = rng.power_law_csr(1500, 900, avg_nnz=10.0, alpha=1.6)
+    plan = WindowEllPlan.build(csr, split_rows=128, t_base=4)
+    assert plan.tb == 4
+    path = str(tmp_path / "tb4.npz")
+    plan.save(path)
+    loaded = WindowEllPlan.load(path)
+    assert loaded.tb == 4
+    x = rng.vector(900)
+    assert spmv_matches(np.asarray(spmv_window_ell(loaded, x)), csr, x,
+                        rel_tol=1e-5)
+
+    # simulate a pre-round-4 file: strip "tb" from the aux metadata
+    with np.load(path, allow_pickle=False) as z:
+        arrays = {n: z[n] for n in z.files}
+    meta = json.loads(bytes(arrays["__meta__"].tobytes()).decode())
+    del meta["p_aux"]["tb"]
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8)
+    legacy = str(tmp_path / "legacy.npz")
+    with open(legacy, "wb") as f:
+        np.savez(f, **arrays)
+    old = WindowEllPlan.load(legacy)
+    assert old.tb == T_BASE   # layout default — the file predates the field

@@ -94,7 +94,19 @@ SUP = 1024            # default rows per superblock (narrow mode)
 # proportional, so cost-per-nnz is roughly target-count-invariant.
 SUP_LEVELS = (1024, 4096, 16384)
 T_SUB = 16            # groups per compute sub-tile
-T_BASE = 8            # groups sharing one scatter base (2 RMWs/sub-tile)
+# Groups sharing one scatter base (the plan's scatter-RUN length).
+# Every run pads to T_BASE groups with zero slots, so the per-superblock
+# padding expectation is (T_BASE-1)/2 groups — measured 1638 empty
+# groups (10.7% of streamed bytes) on the 10M-nnz leveled headline at
+# T_BASE=8 (round 4, /tmp/pad_probe).  Shorter runs buy padding back at
+# the cost of more (n_tb,128) output RMWs per sub-tile (2 at 8, 4 at 4,
+# 8 at 2 — the ind8u probe priced 16 arbitrary RMWs/tile at +0.55
+# ps/slot, docs/PERF.md).  The plan carries its run length (``tb``) so
+# kernels and layouts stay paired; builders resolve ``t_base=None``
+# here (env ``TPU_SPMV_T_BASE`` for A/Bs).  Legal values: 2, 4, 8
+# (the nibble-packed sb reassembly indexes group parity by t%2, which
+# requires an even run length; 8 is the measured default).
+T_BASE = 8
 SPILL_RUN = 64        # max spilled nnz absorbed per extra row
 
 # VMEM budget for (x ++ extras gather block + output block +
@@ -127,6 +139,16 @@ AUTO_CAP_SLACK_NARROW = 0
 # stream); at S=128 leveled 148.1 vs natural 153.8-158.9.  The inverse
 # lane-gather pass compiles and verifies on hardware.
 PERMUTE_ROWS_DEFAULT = True
+
+
+def _t_base(t_base: int | None) -> int:
+    """Resolve a builder's scatter-run length (see ``T_BASE``)."""
+    if t_base is None:
+        t_base = int(os.environ.get("TPU_SPMV_T_BASE", T_BASE))
+    if t_base not in (2, 4, 8):
+        raise InvalidFormatError(
+            f"t_base must be 2, 4 or 8 (got {t_base})")
+    return t_base
 
 
 def _permute_default() -> bool:
@@ -311,6 +333,8 @@ class WindowEllPlan:
     occupancy: float
     sbn: bool = False        # sb stream nibble-packed across group pairs
     pat: bool = False        # pattern plan: implicit unit values (see vals)
+    tb: int = T_BASE         # scatter-run length: groups sharing one base
+    #   (layout and kernel fold granularity are paired through this)
     lam: object = None       # i32 (ceil(rows/128), 128) per-tile source
     #   lane when the plan was built with ``permute_rows=True`` (rows
     #   leveled onto lanes within each superblock; the kernel output is
@@ -326,7 +350,7 @@ class WindowEllPlan:
         # report occupancy 0.0)
         aux = (self.num_rows, self.num_cols, self.extras_base, self.n_extra,
                self.e8, self.out8, self.cols_pad, self.step_groups,
-               self.split_rows, self.sup, 0.0, self.sbn, self.pat)
+               self.split_rows, self.sup, 0.0, self.sbn, self.pat, self.tb)
         return leaves, aux
 
     @classmethod
@@ -424,7 +448,8 @@ class WindowEllPlan:
               spill_beta: float | None = None, device=None,
               permute_rows: bool = False,
               pattern: bool = False,
-              values_dtype=np.float32) -> "WindowEllPlan":
+              values_dtype=np.float32,
+              t_base: int | None = None) -> "WindowEllPlan":
         """Pack a host CSR matrix into the window-ELL layout (vectorized).
 
         ``pattern=True`` builds a PATTERN plan: ``csr.values`` are
@@ -455,7 +480,7 @@ class WindowEllPlan:
             return WindowEllPlan._build(
                 csr, split_rows, step_groups, slack, cap_margin,
                 spill_rounds, max_inflation, sup, spill_beta, device,
-                permute_rows, pattern, values_dtype)
+                permute_rows, pattern, values_dtype, t_base)
         start = _choose_sup(csr)
         err = None
         for s in SUP_LEVELS[SUP_LEVELS.index(start):]:
@@ -469,7 +494,7 @@ class WindowEllPlan:
                 return WindowEllPlan._build(
                     csr, split_rows, step_groups, slack, cap_margin,
                     spill_rounds, max_inflation, s, spill_beta, device,
-                    permute_rows, pattern, values_dtype)
+                    permute_rows, pattern, values_dtype, t_base)
             except WindowEllOverflow as e:
                 err = e
         raise err
@@ -479,9 +504,11 @@ class WindowEllPlan:
                cap_margin, spill_rounds, max_inflation, sup, spill_beta,
                device, permute_rows: bool = False,
                pattern: bool = False,
-               values_dtype=np.float32) -> "WindowEllPlan":
+               values_dtype=np.float32,
+               t_base: int | None = None) -> "WindowEllPlan":
         sup_rows = sup           # scalar superblock height; ``sup`` below
         del sup                  # is reused for per-nnz superblock ids
+        tb = _t_base(t_base)
         if spill_beta is None:
             # Measured default (benchmarks/sweep_caps.py +
             # extras_headroom.py, 10M-nnz power-law headline): order-
@@ -622,7 +649,7 @@ class WindowEllPlan:
                 usup, sup_binv = np.unique(sup_b, return_inverse=True)
                 cnt_sup = np.zeros(len(usup), np.int64)
                 np.add.at(cnt_sup, sup_binv, used)
-                deficit = (-cnt_sup) % T_BASE
+                deficit = (-cnt_sup) % tb
                 excess = lmax_b - cap
                 if deficit.any():
                     order = np.lexsort((-excess, sup_binv))
@@ -871,7 +898,7 @@ class WindowEllPlan:
                 [change, np.asarray([n_groups_real], np.int64)])
             run_counts = run_ends - run_starts
             run_sup = g_sup[run_starts]
-            pad_counts = -(-run_counts // T_BASE) * T_BASE
+            pad_counts = -(-run_counts // tb) * tb
             # processing order: level-1 extras, level-2 extras, rows
             run_lvl1 = (run_sup >= extras_sup0) & (run_sup < lvl2_sup0)
             run_lvl2 = run_sup >= lvl2_sup0
@@ -899,7 +926,7 @@ class WindowEllPlan:
             # same-address RMW chains serialize the VPU (measured ~1.5x
             # on the headline).  Section order (lvl1, lvl2, rows) and the
             # section block boundaries are preserved.
-            rs_pad = g_sup_pad[::T_BASE]
+            rs_pad = g_sup_pad[::tb]
             r_reg = np.where(rs_pad < extras_sup0, 2,
                              np.where(rs_pad < lvl2_sup0, 0, 1))
             rk = _cumcount(rs_pad)
@@ -907,9 +934,9 @@ class WindowEllPlan:
             new_of_old_run = np.empty(len(run_perm), np.int64)
             new_of_old_run[run_perm] = np.arange(len(run_perm),
                                                  dtype=np.int64)
-            old_to_new = new_of_old_run[old_to_new // T_BASE] * T_BASE \
-                + old_to_new % T_BASE
-            g_sup_pad = rs_pad[run_perm].repeat(T_BASE)
+            old_to_new = new_of_old_run[old_to_new // tb] * tb \
+                + old_to_new % tb
+            g_sup_pad = rs_pad[run_perm].repeat(tb)
         else:
             n_blocks = 1
             old_to_new = np.zeros(0, np.int64)
@@ -963,7 +990,7 @@ class WindowEllPlan:
         wg_arr = np.zeros(n_groups_pad, np.int64)
         if n_groups_real:
             wg_arr[old_to_new] = g_w
-        base = (g_sup_pad[::T_BASE] * n_tb).astype(np.int32)
+        base = (g_sup_pad[::tb] * n_tb).astype(np.int32)
         if n_all:
             from ..native import fill_slots
 
@@ -1024,6 +1051,7 @@ class WindowEllPlan:
             occupancy=float(nnz / slots) if slots else 0.0,
             sbn=sbn,
             pat=pattern,
+            tb=tb,
             lam=put(lam_arr) if lam_arr is not None else None,
         )
 
@@ -1134,9 +1162,9 @@ def _choose_sup(csr: CSRMatrix, with_groups: bool = False):
 def _build_pallas(n_steps: int, S: int, out8: int, cols8: int, e8: int,
                   rows_sub: int, n_tb: int, interpret: bool,
                   vma: frozenset | None = None, sbn: bool = False,
-                  pat: bool = False):
+                  pat: bool = False, tb: int = T_BASE):
     T = min(T_SUB, S)
-    TB = min(T_BASE, T)
+    TB = min(tb, T)
 
     def kernel(*refs):
         if pat:
@@ -1334,7 +1362,7 @@ def _spmv_window_ell(plan: WindowEllPlan, x: jax.Array,
     fn = _build_pallas(plan.n_steps, plan.step_groups, plan.out8,
                        plan.cols_pad // LANE, plan.e8, rows_sub,
                        plan.sup // LANE, _use_interpret(), vma, plan.sbn,
-                       plan.pat)
+                       plan.pat, plan.tb)
     streams = (plan.lo, plan.sb) if plan.pat \
         else (plan.vals, plan.lo, plan.sb)
     out = fn(plan.wg, plan.base, plan.blk_step, plan.fin_step, x2d,

@@ -387,7 +387,7 @@ class ShardedWindowEll:
 
     @property
     def pat(self) -> bool:
-        return bool(self.plan_aux[-1])
+        return bool(self.plan_aux[12])   # aux: (..., sbn, pat, tb)
 
     @property
     def col_scale(self):
@@ -412,8 +412,6 @@ def _stack_plans(plans, rps: int, num_cols: int):
     where ``aux`` is the shared static tuple every padded plan
     reconstructs under (``extras_base`` depends only on ``rps``, so it is
     plan-invariant; ``e8``/``out8``/``n_extra`` take the maxima)."""
-    from ..kernels.window_ell import T_BASE
-
     e8 = max(p.e8 for p in plans)
     out8 = max(p.out8 for p in plans)
     n_steps = max(p.n_steps for p in plans)
@@ -424,6 +422,7 @@ def _stack_plans(plans, rps: int, num_cols: int):
     # the stacked frame requires a uniform leaf SET across shards
     assert all(p.pat == plans[0].pat for p in plans)
     assert all((p.lam is None) == (plans[0].lam is None) for p in plans)
+    assert all(p.tb == plans[0].tb for p in plans)
 
     def pad_plan(p):
         def pad2(a, n):  # zero-pad rows of (G8, 128) arrays
@@ -439,7 +438,7 @@ def _stack_plans(plans, rps: int, num_cols: int):
         lo = pad2(p.lo, n_grows)
         sb = pad2(p.sb, n_sbrows)
         wg = pad1(p.wg, n_wg, 0)
-        base = pad1(p.base, n_wg // T_BASE, 0)
+        base = pad1(p.base, n_wg // p.tb, 0)
         blk = pad1(p.blk_step, n_steps, -1)
         fin = pad1(p.fin_step, n_steps, 0)
         e2r = np.zeros(max(n_extra, 1), np.int32)
@@ -455,7 +454,7 @@ def _stack_plans(plans, rps: int, num_cols: int):
     p0 = plans[0]
     plan_aux = (rps, num_cols, p0.extras_base, n_extra, e8, out8,
                 p0.cols_pad, p0.step_groups, p0.split_rows, p0.sup, 0.0,
-                p0.sbn, p0.pat)
+                p0.sbn, p0.pat, p0.tb)
     return stacked, plan_aux
 
 
@@ -542,7 +541,7 @@ def _sharded_packed_fn(mesh: Mesh, axis_name: str, plan_aux: tuple,
     # the mixed-vma arithmetic (verified on jax 0.9).
     interp = _use_interpret()
     vma = None if interp else frozenset({axis_name})
-    pat = bool(plan_aux[-1])
+    pat = bool(plan_aux[12])   # aux: (..., sbn, pat, tb)
     # plan children order: (vals, lo, sb, wg, base, blk, fin, e2r, lam);
     # the stacked frame omits vals for pattern plans and appends lam for
     # leveled ones

@@ -29,7 +29,7 @@ _WINDOW_LEAVES = ("vals", "lo", "sb", "wg", "base", "blk_step", "fin_step",
                   "extra_to_row")
 _WINDOW_AUX = ("num_rows", "num_cols", "extras_base", "n_extra", "e8",
                "out8", "cols_pad", "step_groups", "split_rows", "sup",
-               "sbn", "pat")
+               "sbn", "pat", "tb")
 _CSR_LEAVES = ("values", "col_indices", "row_ptrs", "row_ids")
 
 
@@ -47,6 +47,8 @@ def _window_entry(plan, prefix: str, arrays: dict, meta: dict) -> None:
         arrays[prefix + name] = a
     if plan.lam is not None:  # optional leaf: permute_rows plans only
         arrays[prefix + "lam"] = np.asarray(plan.lam)
+    # "tb" was added in round 4; files saved before it load through the
+    # dataclass default (aux keys are merged as keyword arguments)
     meta[prefix + "aux"] = {k: getattr(plan, k) for k in _WINDOW_AUX}
     meta[prefix + "occupancy"] = float(plan.occupancy)
 
