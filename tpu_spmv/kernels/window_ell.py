@@ -43,12 +43,13 @@ per-superblock grid machinery of round 1):
   (split/spill targets) occupy positions ``[extras_base, ...)`` after them.
 * **Grid steps are HBM blocks** (``step_groups`` groups each), nothing
   else: no per-superblock steps, no live-range bookkeeping.  A step
-  processes all its groups in sub-tiles of ``T_SUB``; each run of
-  ``T_BASE`` consecutive groups shares a *scatter base* (the superblock's
-  first sublane, scalar-prefetched), and the sub-tile's products are
-  folded by ``sup/128`` masked sublane-sums and added into the output
-  block at the dynamic base — one (sup/128, 128) read-modify-write per
-  ``T_BASE`` groups.  Group runs are padded to ``T_BASE`` with zero-valued
+  processes all its groups in sub-tiles of ``T_SUB``; each run of ``tb``
+  consecutive groups (the plan's scatter-run length, default ``T_BASE``)
+  shares a *scatter base* (the superblock's first sublane,
+  scalar-prefetched), and the sub-tile's products are folded by
+  ``sup/128`` masked sublane-sums and added into the output block at the
+  dynamic base — one (sup/128, 128) read-modify-write per ``tb``
+  groups.  Group runs are padded to ``tb`` with zero-valued
   slots at plan time (measured ~6% on the 10M-nnz headline).  At the
   narrow sup the 8 targets cost ~11 ps/slot on v5e (round 1's 16-target
   design: ~24); wide superblocks trade linear scatter cost for packing
@@ -144,7 +145,13 @@ PERMUTE_ROWS_DEFAULT = True
 def _t_base(t_base: int | None) -> int:
     """Resolve a builder's scatter-run length (see ``T_BASE``)."""
     if t_base is None:
-        t_base = int(os.environ.get("TPU_SPMV_T_BASE", T_BASE))
+        env = os.environ.get("TPU_SPMV_T_BASE")
+        try:
+            t_base = T_BASE if env is None else int(env)
+        except ValueError:
+            raise InvalidFormatError(
+                f"TPU_SPMV_T_BASE must be an integer (2, 4 or 8); "
+                f"got {env!r}") from None
     if t_base not in (2, 4, 8):
         raise InvalidFormatError(
             f"t_base must be 2, 4 or 8 (got {t_base})")
@@ -316,7 +323,7 @@ class WindowEllPlan:
     #   WITHIN-group pairing needed 4-row slices and blew Mosaic compile
     #   15x, cross-group pairing compiles in seconds)
     wg: jax.Array            # i32 (n_groups_pad,)  x-window per group (SMEM)
-    base: jax.Array          # i32 (n_groups_pad/T_BASE,) superblock per run
+    base: jax.Array          # i32 (n_groups_pad/tb,) superblock per run
     blk_step: jax.Array      # i32 (n_steps,) HBM block per step, -1 = pad
     fin_step: jax.Array      # i32 (n_steps,) 1 = copy extras totals first
     extra_to_row: jax.Array  # i32 (n_extra,)  extra slot → original row

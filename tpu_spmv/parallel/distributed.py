@@ -423,6 +423,11 @@ def _stack_plans(plans, rps: int, num_cols: int):
     assert all(p.pat == plans[0].pat for p in plans)
     assert all((p.lam is None) == (plans[0].lam is None) for p in plans)
     assert all(p.tb == plans[0].tb for p in plans)
+    # shared static params are taken from plans[0]; a shard whose builder
+    # picked a different sup level / step width would reconstruct wrong
+    assert all(p.sup == plans[0].sup and p.step_groups == plans[0].step_groups
+               and p.split_rows == plans[0].split_rows
+               and p.sbn == plans[0].sbn for p in plans)
 
     def pad_plan(p):
         def pad2(a, n):  # zero-pad rows of (G8, 128) arrays
