@@ -74,7 +74,7 @@ class TestCompositePlan:
         r = spmv_csr(wg, x, SpMVConfig(kernel_type=KernelType.MERGE_PATH))
         assert r.error_code == 0
         assert spmv_matches(np.asarray(r.y), wg, x, rel_tol=1e-5)
-        fn, _ = wg._plan_cache[(int(KernelType.MERGE_PATH), None, False)]
+        fn, _ = wg._plan_cache[(int(KernelType.MERGE_PATH), None, False, None)]
         assert fn in (spmv_window_ell, spmv_composite)
 
     def test_pagerank_on_web_graph(self, rng):
@@ -116,7 +116,7 @@ class TestWideColumns:
         res = spmv_csr(m, x, SpMVConfig(kernel_type=KernelType.MERGE_PATH))
         assert res.error_code == 0
         assert spmv_matches(np.asarray(res.y), m, x, rel_tol=1e-5)
-        fn, _ = m._plan_cache[(int(KernelType.MERGE_PATH), None, False)]
+        fn, _ = m._plan_cache[(int(KernelType.MERGE_PATH), None, False, None)]
         assert fn is spmv_composite
 
 
@@ -196,7 +196,7 @@ class TestBandedPlans:
         m2 = web_graph_csr(rng, 30000, 8000, avg_nnz=9)
         res = spmv_csr(m2, x, SpMVConfig(kernel_type=KernelType.VECTOR_CSR))
         assert res.error_code == 0
-        fn, plan = m2._plan_cache[(int(KernelType.VECTOR_CSR), None, False)]
+        fn, plan = m2._plan_cache[(int(KernelType.VECTOR_CSR), None, False, None)]
         assert isinstance(plan, BandedPlan)
         assert len(plan.plans) >= 2
         assert all(p.n_groups <= natural.n_groups // 2 for p in plan.plans)
@@ -240,11 +240,11 @@ class TestBandedPlans:
         m = norm_graph()
         res = pagerank(m, PageRankConfig(max_iterations=12, tolerance=0.0))
         assert res.error_code == 0
-        # the generic packed-plan entries are (kernel_type, step) tuples;
-        # skip the scalar string keys ("_sup", "_cscale") and any pattern
-        # entries (("pat", ...))
+        # the generic packed-plan entries are (kernel_type, ...) tuples
+        # keyed by an int kernel type; skip string-tagged entries
+        # ("pat", ...), ("_sup", ...), ("_reorder", ...), "_cscale"
         key = [k for k in m._plan_cache
-               if isinstance(k, tuple) and k[0] != "pat"][0]
+               if isinstance(k, tuple) and isinstance(k[0], int)][0]
         assert m._plan_cache[key][1].__class__.__name__ == "BandedPlan"
         ranks = np.asarray(res.ranks)
         assert np.isfinite(ranks).all()

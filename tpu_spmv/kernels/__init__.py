@@ -7,6 +7,7 @@ from .window_ell import (
     spmv_window_ell,
 )
 from .ell_kernel import spmv_ell_device
+from .reorder import ReorderedPlan, build_reordered, spmv_reordered
 
 __all__ = [
     "spmv_csr_scalar",
@@ -16,4 +17,7 @@ __all__ = [
     "build_composite",
     "spmv_composite",
     "spmv_ell_device",
+    "ReorderedPlan",
+    "build_reordered",
+    "spmv_reordered",
 ]

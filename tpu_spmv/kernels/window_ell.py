@@ -1067,7 +1067,60 @@ def _use_interpret() -> bool:
     return jax.devices()[0].platform != "tpu"
 
 
-def _choose_sup(csr: CSRMatrix, with_groups: bool = False):
+# measure-and-pick: when the analytic model's top two superblock
+# candidates land within this cost ratio, stop trusting it — the model
+# cannot see row splitting, row→lane leveling or the atom-aware
+# balancers (all of which specifically shrink narrow plans), which is
+# how the round-4 skew-585 mischoice FAILED a driver artifact.  Probe
+# both candidates with SAMPLED REAL BUILDS (every m-th superblock band
+# through the full packer) and score the actual group counts.
+PROBE_AMBIG_RATIO = 2.0
+PROBE_MIN_NNZ = 1_000_000      # below this, builds are cheap either way
+PROBE_TARGET_NNZ = 1_500_000   # sampled-build size (~1 s of packer)
+
+
+def _sample_bands(csr: CSRMatrix, sup: int, m: int) -> CSRMatrix:
+    """Every ``m``-th ``sup``-row band of ``csr`` stacked into one
+    matrix (same columns) — the builder-faithful sampling unit the
+    analytic model uses, applied to a REAL build."""
+    n_sups = -(-csr.num_rows // sup)
+    bands = [(i * sup, min((i + 1) * sup, csr.num_rows))
+             for i in range(0, n_sups, m)]
+    ptr64 = csr.row_ptrs.astype(np.int64)
+    vals, cols, ptr_parts, base = [], [], [np.zeros(1, np.int64)], 0
+    for a, b in bands:
+        lo, hi = int(ptr64[a]), int(ptr64[b])
+        vals.append(csr.values[lo:hi])
+        cols.append(csr.col_indices[lo:hi])
+        ptr_parts.append(ptr64[a + 1:b + 1] - lo + base)
+        base += hi - lo
+    return CSRMatrix(sum(b - a for a, b in bands), csr.num_cols,
+                     np.concatenate(vals), np.concatenate(cols),
+                     np.concatenate(ptr_parts))
+
+
+def _probe_groups(csr: CSRMatrix, sup: int, split_rows) -> float | None:
+    """Actual (scaled) group count of a sampled real build at ``sup`` —
+    sees everything the analytic model cannot.  ``None`` = the sampled
+    build overflowed (treated as model-cost-only by the caller)."""
+    n_sups = -(-csr.num_rows // sup)
+    m = max(1, min(csr.nnz // PROBE_TARGET_NNZ, n_sups))
+    sub = csr if m <= 1 else _sample_bands(csr, sup, m)
+    narrow = sup == SUP_LEVELS[0]
+    beta, slack = _auto_caps(sup)
+    try:
+        p = WindowEllPlan.build(
+            sub, sup=sup, split_rows=split_rows if narrow else None,
+            spill_beta=beta, cap_slack=slack,
+            permute_rows=_permute_default())
+    except WindowEllOverflow:
+        return None
+    sampled_sups = -(-n_sups // m)
+    return p.n_groups * (n_sups / sampled_sups)
+
+
+def _choose_sup(csr: CSRMatrix, with_groups: bool = False,
+                split_rows: int | None = None):
     """Pick the superblock height by the measured cost model.
 
     For each candidate, estimate streamed slots (bucket-capped groups plus
@@ -1078,6 +1131,15 @@ def _choose_sup(csr: CSRMatrix, with_groups: bool = False):
     :func:`build_auto`).  ``with_groups=True`` also returns the winner's
     estimated group count (0 = unknown), letting ``build_auto`` pre-size
     bands instead of paying a doomed full-matrix build.
+
+    When the model's top two candidates score within
+    ``PROBE_AMBIG_RATIO``, the choice is settled by sampled REAL builds
+    instead (``_probe_groups``) — the analytic model is blind to row
+    splitting (``split_rows``, threaded from the dispatch) and to
+    row→lane leveling, both of which shrink narrow plans on skewed
+    structure (the round-4 skew-585 incident; validated on the
+    round-5 structure grid, docs/MODEL_GRID_r05.json).  Env
+    ``TPU_SPMV_NO_SUP_PROBE=1`` disables the probe for A/Bs.
     """
     nnz = csr.nnz
     if nnz == 0:
@@ -1095,30 +1157,67 @@ def _choose_sup(csr: CSRMatrix, with_groups: bool = False):
     # narrow plans on skewed structure (measured: the 131K/skew-585
     # perf-property matrix at depth 7.15 built 6.5K narrow groups
     # ≈ 59 µs vs the model's wide pick at 138 µs — the model
-    # over-priced narrow ~4x and flipped the choice).
+    # over-priced narrow ~4x and flipped the choice).  Re-validated on
+    # the round-5 structure grid (depth 2-16 rows all narrow-best,
+    # docs/MODEL_GRID_r05.json); ambiguity below the threshold is now
+    # settled by the sampled-build probe rather than the raw model.
     if nnz / (n_sups0 * n_windows * (CHUNKS * LANE)) >= 2.0:
         return (SUP_LEVELS[0], 0) if with_groups else SUP_LEVELS[0]
-    # Sample WHOLE SUPERBLOCKS (all nonzeros of every m-th sup row band)
-    # rather than striding nonzeros: the model mirrors the builder's
-    # order-statistic layer caps (spill_beta ~2.6, cap_slack 1), and
-    # order statistics of per-cell depths are destroyed by nnz striding
-    # (shallow cells have depth 1-5; scaling a strided count back up
-    # mis-ranks them, which flipped the selection with the stride).
-    # Within a sampled bucket depths are EXACT; group counts scale by
-    # the sampling factor afterwards.  The round-2 model's nnz striding
-    # additionally over-counted shallow-bucket floors stride-fold (1M
-    # web graph: est 424K groups at sup=16384 vs 165K actual).
-    # Validated against built plans: est/actual 0.96-0.97 on the 262K
-    # web graph (sup=4096) and the 10M headline; ~1.4 at sup=16384
-    # (its high measured per-slot scatter cost dominates selection
-    # anyway).
     rows_of = np.repeat(np.arange(csr.num_rows, dtype=np.int64),
                         np.diff(csr.row_ptrs).astype(np.int64))
     cols64 = csr.col_indices.astype(np.int64)
-    best, best_cost = None, None
+    costs = _sampled_sup_costs(rows_of, cols64, csr.num_rows, csr.num_cols)
+    ranked = sorted(costs.items(), key=lambda kv: kv[1][0])
+    if not ranked:
+        return (SUP_LEVELS[-1], 0) if with_groups else SUP_LEVELS[-1]
+    best, best_groups = ranked[0][0], ranked[0][1][1]
+    if (len(ranked) >= 2 and nnz >= PROBE_MIN_NNZ
+            and ranked[1][1][0] < PROBE_AMBIG_RATIO * ranked[0][1][0]
+            and not os.environ.get("TPU_SPMV_NO_SUP_PROBE")):
+        scored = []
+        for s, (model_cost, model_groups) in ranked[:2]:
+            g = _probe_groups(csr, s, split_rows)
+            if g is None:
+                scored.append((model_cost, s, model_groups))
+            else:
+                scored.append((g * (_STREAM_PS + _SCATTER_PS[s]), s,
+                               int(g)))
+        scored.sort()
+        best, best_groups = scored[0][1], scored[0][2]
+    return (best, best_groups) if with_groups else best
+
+
+def _sampled_sup_costs(rows_of: np.ndarray, cols64: np.ndarray,
+                       num_rows: int, num_cols: int) -> dict:
+    """The sampled packing-cost model behind :func:`_choose_sup`, on raw
+    (row, col) coordinate arrays: ``{sup: (cost, est_groups)}`` for every
+    non-disqualified level.  Exposed on coordinates (rather than a CSR)
+    so the structure-adaptive reordering probe (``kernels/reorder.py``)
+    can score a candidate relabeling without materializing the permuted
+    matrix.
+
+    Samples WHOLE SUPERBLOCKS (all nonzeros of every m-th sup row band)
+    rather than striding nonzeros: the model mirrors the builder's
+    order-statistic layer caps (spill_beta ~2.6, cap_slack 1), and
+    order statistics of per-cell depths are destroyed by nnz striding
+    (shallow cells have depth 1-5; scaling a strided count back up
+    mis-ranks them, which flipped the selection with the stride).
+    Within a sampled bucket depths are EXACT; group counts scale by
+    the sampling factor afterwards.  The round-2 model's nnz striding
+    additionally over-counted shallow-bucket floors stride-fold (1M
+    web graph: est 424K groups at sup=16384 vs 165K actual).
+    Validated against built plans: est/actual 0.96-0.97 on the 262K
+    web graph (sup=4096) and the 10M headline; ~1.4 at sup=16384
+    (its high measured per-slot scatter cost dominates selection
+    anyway).
+    """
+    nnz = len(rows_of)
+    cols_pad = _bucket(max(num_cols, 1))
+    n_windows = cols_pad // WINDOW
+    out = {}
     for s in SUP_LEVELS:
         sup_id = rows_of // s
-        n_sups = -(-csr.num_rows // s)
+        n_sups = -(-num_rows // s)
         # target ~1M sampled nnz in whole-superblock units
         m = max(1, min(nnz // 1_000_000, n_sups))
         if m > 1:
@@ -1155,14 +1254,10 @@ def _choose_sup(csr: CSRMatrix, with_groups: bool = False):
         # (build_auto rescues over-MAX_GROUPS candidates as a BandedPlan)
         if slots > 64.0 * nnz and slots > (1 << 22):
             continue
-        if groups > MAX_GROUPS and csr.num_rows <= s:
+        if groups > MAX_GROUPS and num_rows <= s:
             continue
-        cost = groups * (_STREAM_PS + _SCATTER_PS[s])
-        if best_cost is None or cost < best_cost:
-            best, best_cost, best_groups = s, cost, groups
-    if best is None:
-        best, best_groups = SUP_LEVELS[-1], 0
-    return (best, best_groups) if with_groups else best
+        out[s] = (groups * (_STREAM_PS + _SCATTER_PS[s]), groups)
+    return out
 
 
 @functools.lru_cache(maxsize=64)

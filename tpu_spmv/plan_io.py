@@ -128,6 +128,22 @@ def save_plan(plan, path: str) -> None:
                             "nnz": plan.tail.nnz}
             for name in _CSR_LEAVES:
                 arrays["t_" + name] = np.asarray(getattr(plan.tail, name))
+    elif type(plan).__name__ == "ReorderedPlan":
+        meta["kind"] = "reordered"
+        meta["num_rows"] = plan.num_rows
+        meta["num_cols"] = plan.num_cols
+        arrays["r_col_src"] = np.asarray(plan.col_src)
+        arrays["r_row_src"] = np.asarray(plan.row_src)
+        if isinstance(plan.inner, BandedPlan):
+            meta["inner_kind"] = "banded"
+            meta["n_bands"] = len(plan.inner.plans)
+            meta["inner_shape"] = [plan.inner.num_rows, plan.inner.num_cols]
+            meta["band_rows"] = list(plan.inner.band_rows)
+            for i, p in enumerate(plan.inner.plans):
+                _window_entry(p, f"b{i}_", arrays, meta)
+        else:
+            meta["inner_kind"] = "window_ell"
+            _window_entry(plan.inner, "p_", arrays, meta)
     else:
         raise InvalidFormatError(
             f"save_plan: unsupported plan type {type(plan).__name__}")
@@ -195,6 +211,24 @@ def load_plan(path: str, device=None):
                              num_cols=meta["num_cols"],
                              bounds=tuple(tuple(b)
                                           for b in meta["bounds"]))
+        if kind == "reordered":
+            from .kernels.reorder import ReorderedPlan
+            from .kernels.window_ell import BandedPlan
+
+            if meta["inner_kind"] == "banded":
+                nr, nc = meta["inner_shape"]
+                inner = BandedPlan(
+                    plans=tuple(_window_from(f"b{i}_", z, meta, put)
+                                for i in range(meta["n_bands"])),
+                    num_rows=nr, num_cols=nc,
+                    band_rows=tuple(meta.get("band_rows", ())))
+            else:
+                inner = _window_from("p_", z, meta, put)
+            return ReorderedPlan(
+                inner=inner,
+                col_src=put(jnp.asarray(z["r_col_src"])),
+                row_src=put(jnp.asarray(z["r_row_src"])),
+                num_rows=meta["num_rows"], num_cols=meta["num_cols"])
         if kind == "composite":
             plans = tuple(_window_from(f"l{i}_", z, meta, put)
                           for i in range(meta["n_levels"]))

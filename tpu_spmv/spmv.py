@@ -97,6 +97,14 @@ class SpMVConfig:
     # stays f32, so the error is ~4e-3 relative on the VALUES only.
     # OPT-IN: the default keeps the reference's exact-f32 semantics.
     bf16_values: bool = False
+    # TPU-native knob (reference analog: the texture cache exists to
+    # exploit x-access locality, spmv_kernels.cu:7-12): structure-
+    # adaptive symmetric reordering for WIDE square matrices with
+    # latent block-coarse locality (kernels/reorder.py).  None = auto
+    # (a cheap packing-model probe decides; iid structure always
+    # skips), False = off, True = force the permuted build when the
+    # matrix qualifies structurally (A/B use).
+    reorder: bool | None = None
 
     @property
     def step_groups(self) -> int | None:
@@ -127,12 +135,15 @@ def spmv_validate_dimensions(num_cols: int, vec_size: int) -> bool:
 
 
 def _plan_for(A: CSRMatrix, kernel_type: KernelType,
-              step_groups: int | None, bf16_values: bool = False):
+              step_groups: int | None, bf16_values: bool = False,
+              reorder: bool | None = None):
     """Resolve (kernel_fn, plan) for the packed path.
 
     Dense-enough matrices get a single narrow-superblock plan; wide
     sparse ones (where the cost model picks a wide superblock) get the
-    multi-level composite layout (see ``window_ell.CompositePlan``)."""
+    multi-level composite layout (see ``window_ell.CompositePlan``).
+    Wide square matrices whose structure probe finds latent locality
+    get the reordered build first (``kernels/reorder.py``)."""
     import numpy as _np
 
     import jax.numpy as _jnp
@@ -141,13 +152,32 @@ def _plan_for(A: CSRMatrix, kernel_type: KernelType,
         _choose_sup, build_auto, build_composite, spmv_composite)
 
     vdt = _jnp.bfloat16 if bf16_values else _np.float32
-    key = (int(kernel_type), step_groups, bf16_values)
+    key = (int(kernel_type), step_groups, bf16_values, reorder)
     if key not in A._plan_cache:
         split = MERGE_SPLIT_ROWS if kernel_type == KernelType.MERGE_PATH \
             else None
         if A.num_cols <= VMEM_X_MAX_COLS:
-            if "_sup" not in A._plan_cache:   # O(nnz) sampled model — cache
-                A._plan_cache["_sup"] = _choose_sup(A, with_groups=True)
+            skey = ("_sup", split)
+            if skey not in A._plan_cache:   # O(nnz) sampled model — cache
+                A._plan_cache[skey] = _choose_sup(A, with_groups=True,
+                                                  split_rows=split)
+            if reorder is not False:
+                from .kernels.reorder import build_reordered, maybe_reorder
+
+                rkey = ("_reorder", bool(reorder))
+                if rkey not in A._plan_cache:   # O(nnz) probe — cache
+                    A._plan_cache[rkey] = maybe_reorder(
+                        A, choice=A._plan_cache[skey],
+                        force=reorder is True)
+                if A._plan_cache[rkey] is not None:
+                    try:
+                        A._plan_cache[key] = build_reordered(
+                            A, order=A._plan_cache[rkey],
+                            split_rows=split, step_groups=step_groups,
+                            values_dtype=vdt)
+                        return A._plan_cache[key]
+                    except WindowEllOverflow:
+                        pass   # permuted build rejected → natural path
             # (A cap-keep composite for the narrow merge path was measured
             # SLOWER than the in-plan extras fold — 265 vs 241 µs on the
             # headline: a final-level plan re-packs the over-cap mass at
@@ -159,7 +189,7 @@ def _plan_for(A: CSRMatrix, kernel_type: KernelType,
             try:
                 A._plan_cache[key] = build_auto(
                     A, step_groups=step_groups, split_rows=split,
-                    choice=A._plan_cache["_sup"], values_dtype=vdt)
+                    choice=A._plan_cache[skey], values_dtype=vdt)
                 return A._plan_cache[key]
             except WindowEllOverflow:
                 pass
@@ -325,7 +355,7 @@ def _resolve_csr_kernel(A: CSRMatrix, kernel_type: KernelType,
                 if resolved is not None:
                     return resolved
             fn, plan = _plan_for(A, kernel_type, config.step_groups,
-                                 config.bf16_values)
+                                 config.bf16_values, config.reorder)
             return fn, (plan,)
         # x wider than the packed cap: column strips — each strip is a
         # VMEM-feasible column range served by the full packed machinery,

@@ -102,6 +102,89 @@ def web_graph_csr(rng: RandomGenerator, rows: int, cols: int,
     return CSRMatrix(rows, cols, vals, cc2, row_ptrs)
 
 
+def clustered_csr(rng: RandomGenerator, n: int, n_clusters: int = 32,
+                  avg_nnz: float = 14.0, p_out: float = 0.05,
+                  alpha_row: float = 1.6, block_shuffle: bool = True):
+    """Square CSR with PLANTED block-coarse locality: nodes partition
+    into contiguous latent clusters, each row keeps ``1 - p_out`` of its
+    (power-law-length) edges inside its own cluster, and the labels are
+    then scrambled by a random symmetric permutation of 128-blocks.
+
+    This is the test bed for the structure-adaptive reordering pass
+    (``kernels/reorder.py``): the scramble models real-world coarse
+    disorder (concatenated crawls, re-stacked shards) that hides the
+    cluster structure from the window-ELL packer, while a 128-block
+    clustering can fully recover it.  ``block_shuffle=False`` returns
+    the latent (ideal) order for ceiling measurements.  Element-granular
+    shuffles are deliberately NOT modeled — they are invisible to any
+    block-granular pass (see the reorder module docstring).
+    """
+    from ..csr import CSRMatrix
+
+    gen = rng.rng
+    raw = gen.pareto(alpha_row, n) + 1.0
+    lens = np.minimum((raw * avg_nnz / raw.mean()).astype(np.int64), n)
+    total = int(lens.sum())
+    rr = np.repeat(np.arange(n, dtype=np.int64), lens)
+    c_of = rr * n_clusters // n                      # row's latent cluster
+    c_lo = c_of * n // n_clusters
+    c_hi = (c_of + 1) * n // n_clusters
+    cc = c_lo + (gen.random(total) * (c_hi - c_lo)).astype(np.int64)
+    out = gen.random(total) < p_out                  # global (noise) edges
+    cc[out] = (gen.random(int(out.sum())) * n).astype(np.int64)
+    if block_shuffle:
+        nb = -(-n // 128)
+        bperm = gen.permutation(nb)                  # latent blk -> new blk
+        pad = nb * 128
+
+        def scram(x):
+            return bperm[x // 128] * 128 + x % 128
+
+        rr, cc, n = scram(rr), scram(cc), pad
+    key = np.unique(rr * n + cc)
+    rr2, cc2 = key // n, (key % n).astype(np.int32)
+    nnz = len(key)
+    row_ptrs = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(rr2, minlength=n), out=row_ptrs[1:])
+    vals = gen.uniform(0.1, 1.0, nnz).astype(np.float32)
+    return CSRMatrix(int(n), int(n), vals, cc2, row_ptrs)
+
+
+def scrambled_banded_csr(rng: RandomGenerator, n: int, bandwidth: int = 4096,
+                         avg_nnz: float = 12.0, alpha_row: float = 1.8,
+                         scramble: bool = True):
+    """Square CSR with latent BANDED structure (mesh / road-network
+    class: every edge within ``bandwidth`` of the diagonal), scrambled
+    by a random symmetric 128-block permutation.
+
+    The second planted-locality flavor for ``kernels/reorder.py``:
+    RCM's native case — the recovered order re-concentrates each
+    superblock's column footprint into ~``2*bandwidth/1024`` windows.
+    """
+    from ..csr import CSRMatrix
+
+    gen = rng.rng
+    lens = np.maximum(np.minimum(
+        ((gen.pareto(alpha_row, n) + 1.0) * avg_nnz / 2).astype(np.int64),
+        bandwidth), 1)
+    rr = np.repeat(np.arange(n, dtype=np.int64), lens)
+    off = (gen.random(len(rr)) * 2 * bandwidth - bandwidth).astype(np.int64)
+    cc = np.clip(rr + off, 0, n - 1)
+    if scramble:
+        nb = -(-n // 128)
+        bperm = gen.permutation(nb)
+        pad = nb * 128
+        rr = bperm[rr // 128] * 128 + rr % 128
+        cc = bperm[cc // 128] * 128 + cc % 128
+        n = pad
+    key = np.unique(rr * n + cc)
+    rr2, cc2 = key // n, (key % n).astype(np.int32)
+    ptr = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(rr2, minlength=n), out=ptr[1:])
+    vals = gen.uniform(0.1, 1.0, len(key)).astype(np.float32)
+    return CSRMatrix(int(n), int(n), vals, cc2, ptr)
+
+
 def generate_random_dense_matrix(rng: RandomGenerator, rows: int, cols: int,
                                  density: float = 0.1) -> np.ndarray:
     return rng.dense_matrix(rows, cols, density)
