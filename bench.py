@@ -93,6 +93,7 @@ def main() -> int:
     cpu0 = jax.local_devices(backend="cpu")[0]
     candidates = []
     fingerprints = {}
+    cand_params = {}
     for perm in (False, True):
         # leveled plans get the S=256 middle width too: S=128 wins the
         # fast device state, S=384 the slow one, S=256 is within ~8% of
@@ -106,6 +107,7 @@ def main() -> int:
                     csr, split_rows=MERGE_SPLIT_ROWS, step_groups=S,
                     device=cpu0, permute_rows=perm)
                 tag = f"S={S}{'+perm' if perm else ''}"
+                cand_params[tag] = (S, perm)
                 # plan FINGERPRINT: the round-3 A/B timed bit-identical
                 # plans without noticing (the perm lever silently no-oped);
                 # every candidate now records + logs its identity, and a
@@ -303,6 +305,75 @@ def main() -> int:
     except Exception as e:
         log(f"PageRank metric skipped: {e}")
 
+    # secondary metrics: the reduced-precision and pattern levers on the
+    # WINNING headline configuration (VERDICT r04 weak #5 — measured
+    # capabilities that never reach BENCH_r0N.json are invisible to the
+    # record).  The exact-f32 headline above is untouched; bf16 is
+    # labeled exact=false (value-rounding error only: products convert
+    # to f32 in-kernel, accumulation stays f32 — tests/test_bf16_values
+    # pins the bound), and the pattern rate uses a column-scaled matrix
+    # of the SAME structure (A = B*diag(s)), which the pattern path
+    # serves exactly.
+    bf16_gbs = 0.0
+    pat_gbs = 0.0
+    try:
+        if smoke:
+            raise RuntimeError("smoke mode")
+        S_win, perm_win = cand_params[best_tag]
+
+        def guarded(fn_, *args_, bytes_):
+            for _ in range(3):
+                s = time_jitted(fn_, *args_, iters=_ITERS, samples=5,
+                                estimator="median")
+                if bytes_ / s / 1e9 <= stream_gbs * 1.02:
+                    return s
+            return None
+
+        ph16 = WindowEllPlan.build(
+            csr, split_rows=MERGE_SPLIT_ROWS, step_groups=S_win,
+            device=cpu0, permute_rows=perm_win, values_dtype=jnp.bfloat16)
+        p16 = ph16.to_device(dev)
+        ok16 = spmv_matches(np.asarray(spmv_window_ell(p16, x)), csr,
+                            np.asarray(x), rel_tol=8e-3)  # bf16 rounding
+        s16 = guarded(spmv_window_ell, p16, x, bytes_=p16.stream_bytes)
+        if ok16 and s16:
+            bf16_gbs = model_bytes / s16 / 1e9
+            log(f"bf16 value stream [exact=false]: {s16*1e6:.1f} us -> "
+                f"{bf16_gbs:.1f} GB/s byte-model "
+                f"({p16.stream_bytes/s16/1e9:.0f} GB/s actual)")
+        else:
+            log(f"bf16 metric failed: ok={ok16} s={s16}")
+        del p16
+    except Exception as e:
+        log(f"bf16 metric skipped: {e}")
+    try:
+        if smoke:
+            raise RuntimeError("smoke mode")
+        from tpu_spmv.kernels.window_ell import spmv_pattern
+
+        svals = (rng.rng.uniform(0.5, 2.0, cols)).astype(np.float32)
+        pat_csr = CSRMatrix(rows, cols, svals[csr.col_indices],
+                            csr.col_indices, csr.row_ptrs)
+        php = WindowEllPlan.build(
+            pat_csr, split_rows=MERGE_SPLIT_ROWS, step_groups=S_win,
+            device=cpu0, permute_rows=perm_win, pattern=True)
+        pp = php.to_device(dev)
+        scale = jnp.asarray(svals)
+        okp = spmv_matches(np.asarray(spmv_pattern(pp, scale, x)),
+                           pat_csr, np.asarray(x), rel_tol=1e-5)
+        sp_ = guarded(spmv_pattern, pp, scale, x,
+                      bytes_=pp.stream_bytes)
+        if okp and sp_:
+            pat_gbs = model_bytes / sp_ / 1e9
+            log(f"pattern SpMV (exact): {sp_*1e6:.1f} us -> "
+                f"{pat_gbs:.1f} GB/s byte-model "
+                f"({pp.stream_bytes/sp_/1e9:.0f} GB/s actual)")
+        else:
+            log(f"pattern metric failed: ok={okp} s={sp_}")
+        del pp
+    except Exception as e:
+        log(f"pattern metric skipped: {e}")
+
     # re-measure the headline late in the run and keep the overall min
     # of guarded measurements (spreading them in time de-biases any
     # transient slow phase)
@@ -343,6 +414,9 @@ def main() -> int:
             "ell_stencil_gb_s": round(ell_gbs, 3),
             "web_graph_1m_gb_s": round(web_gbs, 3),
             "pagerank_262k_ms_per_iter": round(pr_ms_iter, 3),
+            "bf16_spmv_gb_s": round(bf16_gbs, 3),
+            "bf16_exact": False,
+            "pattern_spmv_gb_s": round(pat_gbs, 3),
             "correct": bool(ok),
         },
     }))

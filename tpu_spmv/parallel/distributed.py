@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import numpy as np
 
@@ -675,15 +676,38 @@ def _sub_block_csr(A: CSRMatrix, r0: int, r1: int, rps: int,
                      col_map[cols[keep]].astype(np.int32), new_ptr)
 
 
+def _ring_max_shards() -> int:
+    """Ring mesh-size cap (policy, round 5): the ring form builds
+    n*(n-1) block-pair plans and pads ``pack_idx`` to the max footprint
+    across sources, so build time and plan bytes grow ~quadratically in
+    the mesh size (measured curve: docs/RING_BUILD_r05.json — build_s
+    4.4/9.7/22/56 and ~0.9/1.9/4.2/10.6 GB of stacked plan leaves at
+    n=4/8/16/32 on the 131K web graph).  Past the knee the replicated-
+    packed form (one plan per shard, O(n)) is the better trade unless
+    the structure is strongly banded; callers catch the overflow and
+    fall back exactly as they do for structural rejections.  Env
+    ``TPU_SPMV_RING_MAX`` overrides for pods whose build hosts can pay
+    the quadratic cost for the ICI savings."""
+    return int(os.environ.get("TPU_SPMV_RING_MAX", 16))
+
+
 def shard_csr_ring(A: CSRMatrix, mesh: Mesh, axis_name: str = "rows",
                    split_rows: int | None = 128) -> RingShardedCSR:
     """Build the ring-sharded form: nnz-balanced row blocks, even x
     column blocks, per-(shard, source) packed plans over compressed
     column footprints.  Raises WindowEllOverflow if any pair rejects the
-    packed layout (callers fall back to the replicated paths)."""
-    from ..kernels.window_ell import WindowEllPlan
+    packed layout — or when the mesh exceeds the quadratic-build cap
+    (:func:`_ring_max_shards`) — and callers fall back to the
+    replicated paths."""
+    from ..kernels.window_ell import WindowEllOverflow, WindowEllPlan
 
     n = int(mesh.shape[axis_name])
+    cap = _ring_max_shards()
+    if n > cap:
+        raise WindowEllOverflow(
+            f"ring sharding builds n*(n-1)={n*(n-1)} block-pair plans; "
+            f"mesh size {n} exceeds the quadratic-build cap {cap} "
+            f"(TPU_SPMV_RING_MAX) — use the replicated-packed form")
     ptr = A.row_ptrs
     bounds = _nnz_balanced_bounds(ptr, n)
     rps = max(int(np.diff(bounds).max(initial=0)), 1)
