@@ -57,15 +57,27 @@ def main(argv=None):
     rng = RandomGenerator(42)
     out = {}
 
+    def timed_upload(tree):
+        """device_put all leaves and force completion (block_until_ready
+        does not block on the axon tunnel — fetch one element instead);
+        returns (device_tree, seconds)."""
+        t0 = time.time()
+        leaves = [jax.device_put(np.asarray(a), dev)
+                  for a in jax.tree_util.tree_leaves(tree)]
+        for le in leaves:
+            if le.size:
+                np.asarray(le.ravel()[0])   # forces the H2D transfer
+        return jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(tree), leaves), time.time() - t0
+
+
     # ---- 1. composite on the headline (forced-guard fallback) ----
     csr = rng.power_law_csr(262144, 4096, avg_nnz=40.0, alpha=1.6)
     x = jnp.asarray(rng.vector(4096))
     t0 = time.time()
     cp = build_composite(csr, split_rows=128, device=cpu0)
-    cp = jax.tree_util.tree_unflatten(
-        jax.tree_util.tree_structure(cp),
-        [jax.device_put(np.asarray(a), dev)
-         for a in jax.tree_util.tree_leaves(cp)])
+    t_build = time.time() - t0
+    cp, t_up = timed_upload(cp)
     ok = spmv_matches(np.asarray(spmv_composite(cp, x)), csr,
                       np.asarray(x), rel_tol=1e-5)
     s = time_jitted(spmv_composite, cp, x, iters=200, samples=5,
@@ -74,7 +86,7 @@ def main(argv=None):
     out["composite_headline"] = {
         "levels": len(cp.plans), "tail": cp.tail is not None,
         "correct": bool(ok), "t_us": s * 1e6, "gb_s": gbs,
-        "build_s": time.time() - t0}
+        "build_s": t_build, "upload_s": t_up}
     print(f"composite headline: {len(cp.plans)} levels, ok={ok}, "
           f"{s*1e6:.1f} us = {gbs:.1f} GB/s", file=sys.stderr, flush=True)
 
@@ -88,7 +100,8 @@ def main(argv=None):
     t0 = time.time()
     np_plan = WindowEllPlan.build(small, split_rows=None, spill_beta=0.0,
                                   cap_margin=1e9, device=cpu0)
-    np_dev = np_plan.to_device(dev)
+    t_build_n = time.time() - t0
+    np_dev, t_up_n = timed_upload(np_plan)
     ok_n = spmv_matches(np.asarray(spmv_window_ell(np_dev, xs)), small,
                         np.asarray(xs), rel_tol=1e-5)
     s_n = time_jitted(spmv_window_ell, np_dev, xs, iters=100, samples=5,
@@ -97,7 +110,8 @@ def main(argv=None):
     out["naive_scalar_64k"] = {
         "groups": int(np_plan.n_groups),
         "occupancy": float(np_plan.occupancy), "correct": bool(ok_n),
-        "t_us": s_n * 1e6, "gb_s": gbs_n, "build_s": time.time() - t0}
+        "t_us": s_n * 1e6, "gb_s": gbs_n,
+        "build_s": t_build_n, "upload_s": t_up_n}
     print(f"naive scalar 64K: groups={np_plan.n_groups} "
           f"occ={np_plan.occupancy:.3f} ok={ok_n} {s_n*1e6:.1f} us = "
           f"{gbs_n:.1f} GB/s", file=sys.stderr, flush=True)
@@ -114,17 +128,16 @@ def main(argv=None):
     xw = jax.device_put(jnp.asarray(xw_h), dev)
     t0 = time.time()
     fn, sp = build_strips(wide, device=cpu0)
-    sp = jax.tree_util.tree_unflatten(
-        jax.tree_util.tree_structure(sp),
-        [jax.device_put(np.asarray(a), dev)
-         for a in jax.tree_util.tree_leaves(sp)])
+    t_build_w = time.time() - t0
+    sp, t_up_w = timed_upload(sp)
     ok_w = spmv_matches(np.asarray(fn(sp, xw)), wide, xw_h, rel_tol=1e-5)
     s_w = time_jitted(fn, sp, xw, iters=100, samples=5,
                       estimator="median")
     gbs_w = _bm(rows, cols, wide.nnz) / s_w / 1e9
     out["strips_4m_cols"] = {
         "strips": len(sp.plans), "nnz": wide.nnz, "correct": bool(ok_w),
-        "t_us": s_w * 1e6, "gb_s": gbs_w, "build_s": time.time() - t0}
+        "t_us": s_w * 1e6, "gb_s": gbs_w,
+        "build_s": t_build_w, "upload_s": t_up_w}
     print(f"strips 4M cols: {len(sp.plans)} strips, ok={ok_w}, "
           f"{s_w*1e6:.1f} us = {gbs_w:.1f} GB/s", file=sys.stderr,
           flush=True)

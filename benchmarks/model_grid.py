@@ -164,8 +164,10 @@ def main() -> int:
         "target": 0.90,
         "passed": bool(n_ok / len(rows) >= 0.90),
         "n_cases": len(rows),
-        "probe": {"ambig_ratio": we.PROBE_AMBIG_RATIO,
-                  "min_nnz": we.PROBE_MIN_NNZ},
+        "probe": {"ambig_narrow": we.PROBE_AMBIG_NARROW,
+                  "ambig_wide": we.PROBE_AMBIG_WIDE,
+                  "min_nnz": we.PROBE_MIN_NNZ,
+                  "depth_gate": 0.5},
         "wall_s": round(time.time() - t_start, 1),
         "rows": rows,
     }

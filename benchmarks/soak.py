@@ -37,6 +37,19 @@ def make_matrix(r, kind, rows, cols):
     if kind == "web":
         return web_graph_csr(rng, rows, cols,
                              avg_nnz=float(r.uniform(4, 20)))
+    if kind == "clustered":        # square planted-locality (round 5)
+        from tpu_spmv.utils.testing import clustered_csr
+
+        n = max(rows, 256)
+        return clustered_csr(rng, n, n_clusters=int(r.integers(2, 17)),
+                             avg_nnz=float(r.uniform(4, 16)))
+    if kind == "scrambled":        # square scrambled-banded (round 5)
+        from tpu_spmv.utils.testing import scrambled_banded_csr
+
+        n = max(rows, 256)
+        return scrambled_banded_csr(
+            rng, n, bandwidth=int(r.integers(128, max(n // 2, 129))),
+            avg_nnz=float(r.uniform(3, 12)))
     if kind == "banded":
         band = int(r.integers(1, 9))
         rr, cc, vv = [], [], []
@@ -90,7 +103,8 @@ def main(argv=None):
     from tpu_spmv.utils.testing import spmv_matches
 
     r = np.random.default_rng(args.seed)
-    kinds = ["uniform", "powerlaw", "web", "banded", "hub"]
+    kinds = ["uniform", "powerlaw", "web", "banded", "hub",
+             "clustered", "scrambled"]
     t0 = time.time()
     fails = 0
     for trial in range(args.trials):
@@ -98,6 +112,7 @@ def main(argv=None):
         rows = int(r.integers(1, 20000))
         cols = int(r.integers(1, 30000))
         csr = make_matrix(r, kind, rows, cols)
+        rows, cols = csr.num_rows, csr.num_cols   # square kinds override
         x = r.uniform(-2, 2, cols).astype(np.float32)
         # half the trials run the packed paths with row→lane leveling
         # (the env default applies at plan-build; set it before the
@@ -128,6 +143,26 @@ def main(argv=None):
             fails += 1
             print(f"FAIL(pattern) trial={trial} kind={kind} "
                   f"{rows}x{cols} err={res.error_code}", flush=True)
+        # bf16 value streams (round-4 lever): exactness bar is the
+        # bf16 VALUE-rounding bound, not 1e-4 (tests/test_bf16_values)
+        res = spmv_csr(csr, x, SpMVConfig(
+            kernel_type=KernelType.MERGE_PATH, bf16_values=True))
+        if not (res.error_code == 0 and spmv_matches(
+                np.asarray(res.y), csr, x, rel_tol=8e-3)):
+            fails += 1
+            print(f"FAIL(bf16) trial={trial} kind={kind} "
+                  f"{rows}x{cols} err={res.error_code}", flush=True)
+        # structure-adaptive reordering (round-5 lever): forced on
+        # square matrices that pass the structural gates — exercises
+        # the permuted build + both Pallas chunk-gathers
+        if rows == cols and rows >= 4096 and csr.nnz >= (1 << 16):
+            res = spmv_csr(csr, x, SpMVConfig(
+                kernel_type=KernelType.VECTOR_CSR, reorder=True))
+            if not (res.error_code == 0 and spmv_matches(
+                    np.asarray(res.y), csr, x, rel_tol=1e-4)):
+                fails += 1
+                print(f"FAIL(reorder) trial={trial} kind={kind} "
+                      f"{rows}x{cols} err={res.error_code}", flush=True)
         if csr.nnz and csr.compute_stats().max_nnz_per_row <= 64 \
                 and rows * csr.compute_stats().max_nnz_per_row < 2_000_000:
             ell = ELLMatrix.from_csr(csr)

@@ -325,3 +325,35 @@ class TestPackedShardingVariants:
         assert res_d.converged
         assert res_d.iterations == res_s.iterations
         assert np.abs(res_d.ranks_host() - res_s.ranks_host()).max() < 1e-6
+
+
+class TestRingCap:
+    @needs_multi
+    def test_ring_mesh_cap_overflows(self, rng, n_devices, monkeypatch):
+        """Past TPU_SPMV_RING_MAX the quadratic block-pair build must
+        raise WindowEllOverflow (the signal callers already catch to
+        fall back to the replicated-packed form) — the round-5 policy
+        for the O(n^2) plan growth (docs/RING_BUILD_r05.json)."""
+        import pytest
+
+        from tpu_spmv.kernels.window_ell import WindowEllOverflow
+        from tpu_spmv.parallel import shard_csr_ring
+
+        monkeypatch.setenv("TPU_SPMV_RING_MAX", str(n_devices - 1))
+        mesh = make_row_mesh(n_devices)
+        csr = rng.power_law_csr(256, 256, avg_nnz=6.0)
+        with pytest.raises(WindowEllOverflow):
+            shard_csr_ring(csr, mesh)
+
+    @needs_multi
+    def test_ring_cap_env_override(self, rng, n_devices, monkeypatch):
+        """Raising the env cap re-enables the ring form."""
+        from tpu_spmv.parallel import shard_csr_ring, spmv_csr_ring
+
+        monkeypatch.setenv("TPU_SPMV_RING_MAX", str(n_devices))
+        mesh = make_row_mesh(n_devices)
+        csr = rng.power_law_csr(256, 256, avg_nnz=6.0)
+        x = rng.vector(256)
+        rs = shard_csr_ring(csr, mesh)
+        y = np.asarray(spmv_csr_ring(rs, x, mesh))
+        assert spmv_matches(y, csr, x, rel_tol=1e-5)

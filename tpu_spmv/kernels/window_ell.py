@@ -1067,15 +1067,22 @@ def _use_interpret() -> bool:
     return jax.devices()[0].platform != "tpu"
 
 
-# measure-and-pick: when the analytic model's top two superblock
-# candidates land within this cost ratio, stop trusting it — the model
-# cannot see row splitting, row→lane leveling or the atom-aware
-# balancers (all of which specifically shrink narrow plans), which is
-# how the round-4 skew-585 mischoice FAILED a driver artifact.  Probe
-# both candidates with SAMPLED REAL BUILDS (every m-th superblock band
-# through the full packer) and score the actual group counts.
-PROBE_AMBIG_RATIO = 2.0
-PROBE_MIN_NNZ = 1_000_000      # below this, builds are cheap either way
+# measure-and-pick: when a superblock candidate's analytic cost lands
+# within its contention ratio of the model's best, stop trusting the
+# model — it cannot see row splitting, row→lane leveling or the
+# atom-aware balancers (all of which specifically shrink narrow
+# plans), which is how the round-4 skew-585 mischoice FAILED a driver
+# artifact.  Candidates in contention are re-scored with SAMPLED REAL
+# BUILDS (every m-th superblock band through the full packer).  The
+# ratios are ASYMMETRIC because the model's bias is one-directional:
+# it over-prices NARROW plans by up to ~4x (the invisible transforms
+# only ever shrink them — skew-585: est 4x over; round-5 grid: actual
+# narrow cost 1.2x wide while the model said > 2x), while wide
+# estimates track actuals within ~1.4x (docs/PERF.md est/actual
+# history).  docs/MODEL_GRID_r05.json validates the resulting picks.
+PROBE_AMBIG_NARROW = 5.0       # narrow candidate contends within 5x
+PROBE_AMBIG_WIDE = 2.0         # wide candidates contend within 2x
+PROBE_MIN_NNZ = 200_000        # below this, builds are cheap either way
 PROBE_TARGET_NNZ = 1_500_000   # sampled-build size (~1 s of packer)
 
 
@@ -1144,9 +1151,53 @@ def _choose_sup(csr: CSRMatrix, with_groups: bool = False,
     nnz = csr.nnz
     if nnz == 0:
         return (SUP_LEVELS[0], 0) if with_groups else SUP_LEVELS[0]
-    cols_pad = _bucket(max(csr.num_cols, 1))
+    rows_of = np.repeat(np.arange(csr.num_rows, dtype=np.int64),
+                        np.diff(csr.row_ptrs).astype(np.int64))
+    ranked = _rank_sups(rows_of, csr.col_indices.astype(np.int64),
+                        csr.num_rows, csr.num_cols)
+    best, best_cost, best_groups = ranked[0]
+    # the probe only pays in the depth regime where the model's
+    # narrow-side blindness (splitting/leveling) has mass to act on:
+    # mean narrow bucket depth in [0.5, 2.0) (>= 2 short-circuits to
+    # narrow above; far below, narrow groups are empty-bucket-floor
+    # bound, which the model prices accurately — grid evidence: all
+    # depth < 0.1 picks were already correct pre-probe while the
+    # depth-1.8-1.9 picks were all wrong, docs/MODEL_GRID_r05.json).
+    depth = nnz / ((-(-max(csr.num_rows, 1) // SUP_LEVELS[0]))
+                   * (_bucket(max(csr.num_cols, 1)) // WINDOW)
+                   * (CHUNKS * LANE))
+    contenders = [
+        (s, mc, mg) for s, mc, mg in ranked
+        if mc <= best_cost * (PROBE_AMBIG_NARROW if s == SUP_LEVELS[0]
+                              else PROBE_AMBIG_WIDE)]
+    if (len(contenders) >= 2 and nnz >= PROBE_MIN_NNZ and depth >= 0.5
+            and not os.environ.get("TPU_SPMV_NO_SUP_PROBE")):
+        scored = []
+        for s, model_cost, model_groups in contenders:
+            g = _probe_groups(csr, s, split_rows)
+            if g is None:
+                scored.append((model_cost, s, model_groups))
+            else:
+                scored.append((g * (_STREAM_PS + _SCATTER_PS[s]), s,
+                               int(g)))
+        scored.sort()
+        best, best_groups = scored[0][1], scored[0][2]
+    return (best, best_groups) if with_groups else best
+
+
+def _rank_sups(rows_of: np.ndarray, cols64: np.ndarray,
+               num_rows: int, num_cols: int) -> list:
+    """Analytic superblock ranking on raw coordinates (NO probe):
+    ``[(sup, model_cost, est_groups), ...]`` best-first.  The probe-free
+    core shared by :func:`_choose_sup` and :func:`build_composite`
+    (which re-ranks per level on the shrinking remainder and must not
+    pay sampled builds per level)."""
+    nnz = len(rows_of)
+    if nnz == 0:
+        return [(SUP_LEVELS[0], 0.0, 0)]
+    cols_pad = _bucket(max(num_cols, 1))
     n_windows = cols_pad // WINDOW
-    n_sups0 = -(-max(csr.num_rows, 1) // SUP_LEVELS[0])
+    n_sups0 = -(-max(num_rows, 1) // SUP_LEVELS[0])
     # short-circuit: when narrow (1024-row) buckets are already deep, the
     # narrow mode always wins (wider superblocks only add scatter
     # targets).  Threshold 2.0 (round 4, was 8.0): at mean bucket depth
@@ -1162,29 +1213,12 @@ def _choose_sup(csr: CSRMatrix, with_groups: bool = False,
     # docs/MODEL_GRID_r05.json); ambiguity below the threshold is now
     # settled by the sampled-build probe rather than the raw model.
     if nnz / (n_sups0 * n_windows * (CHUNKS * LANE)) >= 2.0:
-        return (SUP_LEVELS[0], 0) if with_groups else SUP_LEVELS[0]
-    rows_of = np.repeat(np.arange(csr.num_rows, dtype=np.int64),
-                        np.diff(csr.row_ptrs).astype(np.int64))
-    cols64 = csr.col_indices.astype(np.int64)
-    costs = _sampled_sup_costs(rows_of, cols64, csr.num_rows, csr.num_cols)
-    ranked = sorted(costs.items(), key=lambda kv: kv[1][0])
-    if not ranked:
-        return (SUP_LEVELS[-1], 0) if with_groups else SUP_LEVELS[-1]
-    best, best_groups = ranked[0][0], ranked[0][1][1]
-    if (len(ranked) >= 2 and nnz >= PROBE_MIN_NNZ
-            and ranked[1][1][0] < PROBE_AMBIG_RATIO * ranked[0][1][0]
-            and not os.environ.get("TPU_SPMV_NO_SUP_PROBE")):
-        scored = []
-        for s, (model_cost, model_groups) in ranked[:2]:
-            g = _probe_groups(csr, s, split_rows)
-            if g is None:
-                scored.append((model_cost, s, model_groups))
-            else:
-                scored.append((g * (_STREAM_PS + _SCATTER_PS[s]), s,
-                               int(g)))
-        scored.sort()
-        best, best_groups = scored[0][1], scored[0][2]
-    return (best, best_groups) if with_groups else best
+        return [(SUP_LEVELS[0], 0.0, 0)]
+    costs = _sampled_sup_costs(rows_of, cols64, num_rows, num_cols)
+    if not costs:
+        return [(SUP_LEVELS[-1], float("inf"), 0)]
+    return sorted(((s, c, g) for s, (c, g) in costs.items()),
+                  key=lambda t: t[1])
 
 
 def _sampled_sup_costs(rows_of: np.ndarray, cols64: np.ndarray,
@@ -1580,29 +1614,46 @@ def build_composite(csr: CSRMatrix, step_groups: int | None = None,
     if permute_rows is None:
         permute_rows = _permute_default()
     plans = []
-    rem = csr
+    # the level loop works on shrinking COORDINATE arrays — rows_of /
+    # cols64 are derived ONCE and masked per level, and the level's
+    # superblock comes from the probe-free analytic ranking.  (Round-5
+    # build-cost fix: the previous per-level `_choose_sup(rem)` +
+    # `_subset_csr` re-derived the O(nnz) coordinate arrays from a
+    # rebuilt CSR on every level AND — after measure-and-pick landed —
+    # paid sampled probe builds per level; profiled at ~40% of the
+    # composite's 63 s at half-headline scale.)
+    nr, nc = csr.num_rows, csr.num_cols
+    cols_pad = _bucket(max(nc, 1))
+    n_windows = cols_pad // WINDOW
+
+    def coords_csr(r, c32, v):
+        ptr = np.zeros(nr + 1, np.int64)
+        np.cumsum(np.bincount(r, minlength=nr), out=ptr[1:])
+        return CSRMatrix(nr, nc, v, c32, ptr)
+
+    r = np.repeat(np.arange(nr, dtype=np.int64),
+                  np.diff(csr.row_ptrs).astype(np.int64))
+    c64 = csr.col_indices.astype(np.int64)
+    c32, v = csr.col_indices, csr.values
+    done = False
     for lvl in range(max_levels):
-        s = _choose_sup(rem)
+        s = _rank_sups(r, c64, nr, nc)[0][0]
         narrow = s == SUP_LEVELS[0]
         if lvl == max_levels - 1 or (narrow and lvl > 0) \
-                or rem.nnz < (1 << 16):
+                or len(r) < (1 << 16):
             # final level: full machinery (splits + extras) takes the rest
             try:
                 plans.append(WindowEllPlan.build(
-                    rem, split_rows=split_rows, step_groups=step_groups,
-                    device=device, permute_rows=permute_rows))
-                rem = None
+                    coords_csr(r, c32, v), split_rows=split_rows,
+                    step_groups=step_groups, device=device,
+                    permute_rows=permute_rows))
+                done = True
             except WindowEllOverflow:
                 pass                  # remainder to the flat tail
             break
-        cols_pad = _bucket(max(rem.num_cols, 1))
-        n_windows = cols_pad // WINDOW
-        rows_of = np.repeat(np.arange(rem.num_rows, dtype=np.int64),
-                            np.diff(rem.row_ptrs).astype(np.int64))
-        cols64 = rem.col_indices.astype(np.int64)
-        cell = (((rows_of // s) * n_windows + cols64 // WINDOW)
+        cell = (((r // s) * n_windows + c64 // WINDOW)
                 * (CHUNKS * LANE)
-                + ((cols64 // LANE) % CHUNKS) * LANE + rows_of % LANE)
+                + ((c64 // LANE) % CHUNKS) * LANE + r % LANE)
         layer = _cumcount(cell)
         if narrow:
             bucket = cell // (CHUNKS * LANE)
@@ -1614,25 +1665,26 @@ def build_composite(csr: CSRMatrix, step_groups: int | None = None,
             keep = layer < cap[binv]
         else:
             keep = layer < 1
-        kept = _subset_csr(rem, rows_of, keep)
         try:
             plans.append(WindowEllPlan.build(
-                kept, split_rows=None, step_groups=step_groups, sup=s,
+                coords_csr(r[keep], c32[keep], v[keep]), split_rows=None,
+                step_groups=step_groups, sup=s,
                 cap_slack=8 if narrow else 2, device=device,
                 permute_rows=permute_rows))
         except WindowEllOverflow:
             break                     # whole remainder to the flat tail
-        n_spill = int((~keep).sum())
-        if n_spill == 0:
-            rem = None
+        spill = ~keep
+        if not spill.any():
+            done = True
             break
-        rem = _subset_csr(rem, rows_of, ~keep)
+        r, c64, c32, v = r[spill], c64[spill], c32[spill], v[spill]
     if not plans:
         raise WindowEllOverflow(
             "no composite level packs this structure")
-    tail = rem.to_device(device) if rem is not None and rem.nnz else None
+    tail = None if done or not len(r) \
+        else coords_csr(r, c32, v).to_device(device)
     return CompositePlan(plans=tuple(plans), tail=tail,
-                         num_rows=csr.num_rows, num_cols=csr.num_cols)
+                        num_rows=csr.num_rows, num_cols=csr.num_cols)
 
 
 @jax.jit

@@ -680,9 +680,10 @@ def _ring_max_shards() -> int:
     """Ring mesh-size cap (policy, round 5): the ring form builds
     n*(n-1) block-pair plans and pads ``pack_idx`` to the max footprint
     across sources, so build time and plan bytes grow ~quadratically in
-    the mesh size (measured curve: docs/RING_BUILD_r05.json — build_s
-    4.4/9.7/22/56 and ~0.9/1.9/4.2/10.6 GB of stacked plan leaves at
-    n=4/8/16/32 on the 131K web graph).  Past the knee the replicated-
+    the mesh size (measured curve: docs/RING_BUILD_r05.json — build
+    3.9/15.5/31.3/99.1 s and 0.22/0.32/0.51/0.93 GB of stacked plan
+    leaves at n=4/8/16/32 on the 131K/1.5M-nnz web graph, correct at
+    every size).  Past the knee the replicated-
     packed form (one plan per shard, O(n)) is the better trade unless
     the structure is strongly banded; callers catch the overflow and
     fall back exactly as they do for structural rejections.  Env
