@@ -162,11 +162,12 @@ def main(argv=None):
     ecsr = ell.to_csr()
     ok_e = res_e.error_code == 0 and spmv_matches(
         np.asarray(res_e.y), ecsr, xe_h, rel_tol=1e-5)
-    s_e = res_e.elapsed_ms / 1e3
-    gbs_e = _bm(er, ec, ecsr.nnz) / s_e / 1e9
+    s_e = res_e.elapsed_ms / 1e3   # 0.0 when the dispatch errored
+    gbs_e = _bm(er, ec, ecsr.nnz) / s_e / 1e9 if s_e else 0.0
     out["ell_wide_2m_cols"] = {
         "nnz": int(ecsr.nnz), "correct": bool(ok_e),
-        "t_us": s_e * 1e6, "gb_s": gbs_e, "e2e_s": t_e2e}
+        "t_us": s_e * 1e6, "gb_s": gbs_e, "e2e_s": t_e2e,
+        "error_code": int(res_e.error_code)}
     print(f"wide ELL 2M cols (public dispatch): ok={ok_e}, "
           f"{s_e*1e6:.1f} us = {gbs_e:.2f} GB/s", file=sys.stderr,
           flush=True)

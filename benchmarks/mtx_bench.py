@@ -74,6 +74,7 @@ def main() -> int:
 
     _native.require()
     from tpu_spmv import spmv_auto_config, spmv_csr
+    from tpu_spmv.bandwidth import measured_stream_bandwidth
     from tpu_spmv.io.matrix_market import (load_matrix_market,
                                            save_matrix_market)
     from tpu_spmv.utils.testing import (RandomGenerator, clustered_csr,
@@ -81,6 +82,8 @@ def main() -> int:
 
     dev = jax.devices()[0]
     log(f"device: {dev.device_kind}")
+    stream_gbs = measured_stream_bandwidth(dev)
+    log(f"measured STREAM: {stream_gbs:.1f} GB/s (physics guard)")
     rng = RandomGenerator(42)
     gen = rng.rng
 
@@ -109,15 +112,25 @@ def main() -> int:
             x = rng.vector(m.num_cols)
             cfg = spmv_auto_config(m)
             t0 = time.time()
-            r = spmv_csr(m, jnp.asarray(x), cfg, measure=True,
-                         measure_iters=100)
+            # recorded-number discipline (CLAUDE.md): 5 median slope
+            # pairs AND a physics guard — the byte-model rate cannot
+            # exceed measured STREAM; a device phase flip between the
+            # differenced runs can corrupt one slope to an impossible
+            # value, so retry the measurement when it does
+            bm = m.nnz * 8 + (m.num_rows + 1) * 4 + m.num_cols * 4 \
+                + m.num_rows * 4
+            for _ in range(3):
+                r = spmv_csr(m, jnp.asarray(x), cfg, measure=True,
+                             measure_iters=100, measure_samples=5)
+                if r.elapsed_ms <= 0 or \
+                        bm / (r.elapsed_ms / 1e3) / 1e9 \
+                        <= stream_gbs * 1.02:
+                    break
             ok = r.error_code == 0 and spmv_matches(
                 np.asarray(r.y), m, x, rel_tol=1e-5)
             reordered = any(k[0] == "_reorder" and v is not None
                             for k, v in m._plan_cache.items()
                             if isinstance(k, tuple))
-            bm = m.nnz * 8 + (m.num_rows + 1) * 4 + m.num_cols * 4 \
-                + m.num_rows * 4
             gbs = bm / (r.elapsed_ms / 1e3) / 1e9 if r.elapsed_ms else 0.0
             log(f"[{name}] {r.elapsed_ms:.3f} ms -> {gbs:.1f} GB/s "
                 f"byte-model, correct={ok}, reordered={reordered}, "

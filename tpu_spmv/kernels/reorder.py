@@ -358,7 +358,8 @@ def build_reordered(csr: CSRMatrix, order: np.ndarray | None = None,
 
 
 def maybe_reorder(csr: CSRMatrix, choice: tuple | None = None,
-                  force: bool = False) -> np.ndarray | None:
+                  force: bool = False,
+                  split_rows: int | None = None) -> np.ndarray | None:
     """The dispatch probe: an RCM block order when the structure says
     the permutation pays, else ``None``.
 
@@ -384,11 +385,14 @@ def maybe_reorder(csr: CSRMatrix, choice: tuple | None = None,
     from .window_ell import _choose_sup
 
     sup = (choice[0] if choice is not None
-           else _choose_sup(csr))
+           else _choose_sup(csr, split_rows=split_rows))
     if sup <= SUP_LEVELS[0]:
         return None
     order = block_order(csr)
     nat, prm = reorder_gain(csr, order)
-    if prm <= GAIN_THRESHOLD * nat:
+    # prm must be FINITE: (inf, inf) means no superblock level packs on
+    # either side — "inf <= 0.85*inf" would vacuously apply an order
+    # whose permuted build is guaranteed to overflow anyway
+    if np.isfinite(prm) and prm <= GAIN_THRESHOLD * nat:
         return order
     return None

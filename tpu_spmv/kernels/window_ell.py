@@ -488,7 +488,7 @@ class WindowEllPlan:
                 csr, split_rows, step_groups, slack, cap_margin,
                 spill_rounds, max_inflation, sup, spill_beta, device,
                 permute_rows, pattern, values_dtype, t_base)
-        start = _choose_sup(csr)
+        start = _choose_sup(csr, split_rows=split_rows)
         err = None
         for s in SUP_LEVELS[SUP_LEVELS.index(start):]:
             # wide superblocks are shallow (cap ~1); without extra slack
@@ -1151,11 +1151,6 @@ def _choose_sup(csr: CSRMatrix, with_groups: bool = False,
     nnz = csr.nnz
     if nnz == 0:
         return (SUP_LEVELS[0], 0) if with_groups else SUP_LEVELS[0]
-    rows_of = np.repeat(np.arange(csr.num_rows, dtype=np.int64),
-                        np.diff(csr.row_ptrs).astype(np.int64))
-    ranked = _rank_sups(rows_of, csr.col_indices.astype(np.int64),
-                        csr.num_rows, csr.num_cols)
-    best, best_cost, best_groups = ranked[0]
     # the probe only pays in the depth regime where the model's
     # narrow-side blindness (splitting/leveling) has mass to act on:
     # mean narrow bucket depth in [0.5, 2.0) (>= 2 short-circuits to
@@ -1166,6 +1161,16 @@ def _choose_sup(csr: CSRMatrix, with_groups: bool = False,
     depth = nnz / ((-(-max(csr.num_rows, 1) // SUP_LEVELS[0]))
                    * (_bucket(max(csr.num_cols, 1)) // WINDOW)
                    * (CHUNKS * LANE))
+    if depth >= 2.0:
+        # dense-narrow short-circuit (same gate _rank_sups applies) —
+        # taken HERE, before the O(nnz) coordinate arrays are
+        # materialized: the headline class answers from nnz + dims alone
+        return (SUP_LEVELS[0], 0) if with_groups else SUP_LEVELS[0]
+    rows_of = np.repeat(np.arange(csr.num_rows, dtype=np.int64),
+                        np.diff(csr.row_ptrs).astype(np.int64))
+    ranked = _rank_sups(rows_of, csr.col_indices.astype(np.int64),
+                        csr.num_rows, csr.num_cols)
+    best, best_cost, best_groups = ranked[0]
     contenders = [
         (s, mc, mg) for s, mc, mg in ranked
         if mc <= best_cost * (PROBE_AMBIG_NARROW if s == SUP_LEVELS[0]
@@ -1930,7 +1935,7 @@ def build_auto(csr: CSRMatrix, split_rows: int | None = None,
     if permute_rows is None:
         permute_rows = _permute_default()
     start, groups_est = choice if choice is not None \
-        else _choose_sup(csr, with_groups=True)
+        else _choose_sup(csr, with_groups=True, split_rows=split_rows)
     err = None
     for s in SUP_LEVELS[SUP_LEVELS.index(start):]:
         narrow = s == SUP_LEVELS[0]

@@ -164,11 +164,14 @@ def _plan_for(A: CSRMatrix, kernel_type: KernelType,
             if reorder is not False:
                 from .kernels.reorder import build_reordered, maybe_reorder
 
-                rkey = ("_reorder", bool(reorder))
+                # the verdict depends on the split-dependent sup choice
+                # (skey) — a VECTOR_CSR (split=None) skip must not be
+                # reused for MERGE_PATH (split=128) or vice versa
+                rkey = ("_reorder", bool(reorder), split)
                 if rkey not in A._plan_cache:   # O(nnz) probe — cache
                     A._plan_cache[rkey] = maybe_reorder(
                         A, choice=A._plan_cache[skey],
-                        force=reorder is True)
+                        force=reorder is True, split_rows=split)
                 if A._plan_cache[rkey] is not None:
                     try:
                         A._plan_cache[key] = build_reordered(
@@ -281,14 +284,17 @@ def _run_with_fallback(A: CSRMatrix, fn, args, x, was_packed: bool,
 
 def spmv_csr(A: CSRMatrix | None, x, config: SpMVConfig | None = None,
              vec_size: int | None = None, measure: bool = False,
-             measure_iters: int = 200) -> SpMVResult:
+             measure_iters: int = 200,
+             measure_samples: int = 3) -> SpMVResult:
     """``y = A @ x`` on device (reference ``spmv_csr``,
     ``spmv_kernels.cu:215-326``).
 
     Returns an :class:`SpMVResult`; errors are reported via ``error_code``
     (the reference's no-throw contract).  ``measure=True`` re-executes the
     jitted kernel ``measure_iters`` times in a chained loop to fill the
-    timing/GFLOPS/bandwidth fields.
+    timing/GFLOPS/bandwidth fields (``measure_samples`` differenced
+    slope pairs, median — recorded artifacts use 5 per the repo's
+    measurement discipline, interactive calls keep the cheaper 3).
     """
     result = SpMVResult()
     # validation mirrors spmv_kernels.cu:219-232
@@ -335,7 +341,7 @@ def spmv_csr(A: CSRMatrix | None, x, config: SpMVConfig | None = None,
 
         secs = time_jitted(lambda *a: fn(*a[:-1], a[-1])[: A.num_rows],
                            *args, x, iters=measure_iters,
-                           samples=3, estimator="median")
+                           samples=measure_samples, estimator="median")
         result.elapsed_ms = secs * 1e3
         result.gflops = 2.0 * A.nnz / secs / 1e9 if secs > 0 else 0.0
         result.bandwidth = compute_bandwidth_csr(
@@ -463,7 +469,8 @@ def _scalar_entry(dev: DeviceCSR, x: jax.Array) -> jax.Array:
 
 def spmv_ell(A: ELLMatrix | None, x, config: SpMVConfig | None = None,
              vec_size: int | None = None, measure: bool = False,
-             measure_iters: int = 200) -> SpMVResult:
+             measure_iters: int = 200,
+             measure_samples: int = 3) -> SpMVResult:
     """``y = A @ x`` for ELL (reference ``spmv_ell``,
     ``spmv_kernels.cu:328-420``)."""
     result = SpMVResult()
@@ -519,7 +526,7 @@ def spmv_ell(A: ELLMatrix | None, x, config: SpMVConfig | None = None,
 
         secs = time_jitted(lambda *a: fn(*a[:-1], a[-1])[: A.num_rows],
                            *args, x, iters=measure_iters,
-                           samples=3, estimator="median")
+                           samples=measure_samples, estimator="median")
         result.elapsed_ms = secs * 1e3
         # actual-nnz GFLOPS accounting like the reference host recount
         # (spmv_kernels.cu:399-405)
@@ -562,14 +569,15 @@ def _resolve_ell_kernel(A: ELLMatrix, config: SpMVConfig | None = None):
         # column-strip machinery CSR got in round 4 (each strip a
         # VMEM-feasible column range of to_csr()), not the flat
         # slot-major XLA gather (VERDICT r04 missing #3)
-        if "strips" not in A._plan_cache:
+        cfg = config or SpMVConfig()
+        ekey = ("strips", cfg.step_groups)   # plan depends on step width
+        if ekey not in A._plan_cache:
             if "_csr" not in A._plan_cache:
                 A._plan_cache["_csr"] = A.to_csr()
-            A._plan_cache["strips"] = _resolve_strips(
-                A._plan_cache["_csr"], KernelType.VECTOR_CSR,
-                config or SpMVConfig())
-        if A._plan_cache["strips"] is not None:
-            return A._plan_cache["strips"]
+            A._plan_cache[ekey] = _resolve_strips(
+                A._plan_cache["_csr"], KernelType.VECTOR_CSR, cfg)
+        if A._plan_cache[ekey] is not None:
+            return A._plan_cache[ekey]
     return (lambda d, v: _ell_entry(d, v)), (A.to_device(),)
 
 
