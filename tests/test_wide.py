@@ -211,7 +211,19 @@ class TestBandedPlans:
         m = web_graph_csr(rng, 20000, 4000, avg_nnz=9)
         x = rng.vector(4000)
         _, natural = we.build_auto(m)
-        monkeypatch.setattr(we, "MAX_GROUPS", natural.n_groups // 4)
+        # the halving recursion bottoms out at single-superblock bands,
+        # whose group count is PLATFORM-dependent (the TPU default step
+        # width pads small bands to 256-group multiples — a 1024-row
+        # band of this matrix needs 768 groups there vs ~192 on CPU):
+        # the patched cap must admit the largest of them or the builder
+        # correctly raises instead of recovering
+        need1 = max(
+            we.WindowEllPlan.build(
+                we._slice_rows(m, a, min(a + 1024, m.num_rows)),
+                sup=1024).n_groups
+            for a in range(0, m.num_rows, 1024))
+        monkeypatch.setattr(we, "MAX_GROUPS",
+                            max(natural.n_groups // 4, need1))
         # deliberately under-banded: the builder must recover by halving
         bp = build_banded(m, sup=1024, n_bands=2)
         assert len(bp.plans) >= 2
