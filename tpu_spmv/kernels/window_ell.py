@@ -106,7 +106,10 @@ T_SUB = 16            # groups per compute sub-tile
 # kernels and layouts stay paired; builders resolve ``t_base=None``
 # here (env ``TPU_SPMV_T_BASE`` for A/Bs).  Legal values: 2, 4, 8
 # (the nibble-packed sb reassembly indexes group parity by t%2, which
-# requires an even run length; 8 is the measured default).
+# requires an even run length; 8 is the measured default — the round-5
+# device A/B of shorter runs LOST despite streaming 5-8% fewer groups:
+# the doubled/quadrupled per-run output read-modify-writes cost ~8%
+# on the 10M-nnz headline, docs/AB_TBASE_r05.txt).
 T_BASE = 8
 SPILL_RUN = 64        # max spilled nnz absorbed per extra row
 
@@ -643,12 +646,24 @@ class WindowEllPlan:
                         -(-cnt // (CHUNKS * LANE))) + cap_slack
                 # absorb run padding as layer capacity (round 3): the
                 # group order pads each superblock's group count to a
-                # multiple of T_BASE with zero-slot groups; raising the
-                # deepest bucket's cap by that deficit converts pure
-                # padding into spill capacity (fewer extras at the same
+                # multiple of T_BASE with zero-slot groups; raising
+                # bucket caps by that deficit converts pure padding
+                # into spill capacity (fewer extras at the same
                 # streamed bytes).  Approximate — the later extras/
                 # combine buckets shift the counts a little — but most
-                # of the padding converts.
+                # of the padding converts.  Round 5: the deficit is
+                # distributed over the superblock's buckets in
+                # excess-descending order (the round-3 pass raised only
+                # the single deepest bucket, leaving deficit unabsorbed
+                # when its excess ran out).  The residual empty pads
+                # (978 groups on the 10M-nnz leveled headline,
+                # benchmarks/pad_decompose.py) come from POST-spill
+                # drift — combine/extras-gather cells shifting rows-
+                # region layer counts off tb-multiples — which this
+                # pass cannot see; feedback passes that re-target the
+                # shifted totals were measured drift-defeated (extras
+                # −256 groups, rows +512), and shorter runs lose on
+                # scatter RMWs (docs/AB_TBASE_r05.txt).
                 lmax_b = np.zeros(len(ubw), np.int64)
                 np.maximum.at(lmax_b, inv, layer + 1)
                 used = np.minimum(lmax_b, cap)
@@ -660,11 +675,15 @@ class WindowEllPlan:
                 excess = lmax_b - cap
                 if deficit.any():
                     order = np.lexsort((-excess, sup_binv))
-                    first = order[_cumcount(sup_binv[order]) == 0]
-                    add = np.minimum(np.maximum(excess[first], 0),
-                                     deficit)
+                    se = np.maximum(excess[order], 0)
+                    sup_o = sup_binv[order]
+                    cs = np.cumsum(se) - se
+                    first_of_sup = np.searchsorted(
+                        sup_o, np.arange(len(usup), dtype=np.int64))
+                    before = cs - cs[first_of_sup[sup_o]]
+                    add_o = np.clip(deficit[sup_o] - before, 0, se)
                     cap2 = cap.copy()
-                    cap2[first] += add
+                    cap2[order] += add_o
                     cap = cap2
                 spilled = layer >= cap[inv]
                 if not spilled.any():
