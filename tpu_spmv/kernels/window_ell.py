@@ -672,19 +672,10 @@ class WindowEllPlan:
                 cnt_sup = np.zeros(len(usup), np.int64)
                 np.add.at(cnt_sup, sup_binv, used)
                 deficit = (-cnt_sup) % tb
-                excess = lmax_b - cap
                 if deficit.any():
-                    order = np.lexsort((-excess, sup_binv))
-                    se = np.maximum(excess[order], 0)
-                    sup_o = sup_binv[order]
-                    cs = np.cumsum(se) - se
-                    first_of_sup = np.searchsorted(
-                        sup_o, np.arange(len(usup), dtype=np.int64))
-                    before = cs - cs[first_of_sup[sup_o]]
-                    add_o = np.clip(deficit[sup_o] - before, 0, se)
-                    cap2 = cap.copy()
-                    cap2[order] += add_o
-                    cap = cap2
+                    cap = _absorb_run_padding(cap, lmax_b - cap,
+                                              sup_binv, len(usup),
+                                              deficit)
                 spilled = layer >= cap[inv]
                 if not spilled.any():
                     break
